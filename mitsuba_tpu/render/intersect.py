@@ -1,0 +1,327 @@
+"""Ray–scene intersection: SoA triangle tables + closest/any-hit kernels.
+
+TPU-native replacement for the reference's kd-tree traversal + TriAccel
+records (include/mitsuba/render/sahkdtree3.h:171 Havran traversal,
+triaccel.h:98 Wald test).  Two backends:
+
+  * `brute`  — all-pairs Möller–Trumbore over (rays × triangles), fully
+    vectorized; XLA fuses it into a single VPU loop. Fastest for small
+    scenes (Cornell box class) and the correctness oracle for everything.
+  * `bvh`    — stackless skip-link BVH walk (see render/bvh.py): each step
+    gathers one node per ray, tests MAX_LEAF triangles when in a leaf and
+    advances via hit/skip links. No stacks, no recursion — one
+    `lax.while_loop` over the whole wavefront.
+
+Geometry lives in `GeometryTables`, a pytree of SoA arrays (triangles stored
+in BVH order so leaf ranges are contiguous).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_tpu.core import math as m
+from mitsuba_tpu.core.types import pytree_dataclass, static_field
+from mitsuba_tpu.render.bvh import BVH, MAX_LEAF, build_bvh
+from mitsuba_tpu.render.records import Intersection, Ray
+
+
+@pytree_dataclass
+class GeometryTables:
+    # triangle soup (BVH-permuted order)
+    v0: jnp.ndarray        # (T, 3)
+    e1: jnp.ndarray        # (T, 3) v1 - v0
+    e2: jnp.ndarray        # (T, 3) v2 - v0
+    n0: jnp.ndarray        # (T, 3) per-corner shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray       # (T, 2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    material_id: jnp.ndarray  # (T,) int32
+    emitter_id: jnp.ndarray   # (T,) int32, -1 = not emissive
+    shape_id: jnp.ndarray     # (T,) int32
+    # flattened BVH
+    bvh_min: jnp.ndarray   # (M, 3)
+    bvh_max: jnp.ndarray   # (M, 3)
+    bvh_first: jnp.ndarray  # (M,)
+    bvh_count: jnp.ndarray  # (M,)
+    bvh_skip: jnp.ndarray   # (M,)
+    backend: str = static_field(default="brute")
+
+    @property
+    def n_tris(self):
+        return self.v0.shape[0]
+
+
+def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
+    """Assemble GeometryTables from [(TriMesh, material_id, emitter_id), ...].
+
+    backend: 'brute' | 'bvh' | 'auto' (bvh above 64 triangles).
+    """
+    vs, fs, ns, uvs, mids, eids, sids = [], [], [], [], [], [], []
+    voff = 0
+    for sid, (mesh, mat, emit) in enumerate(meshes_with_ids):
+        vs.append(np.asarray(mesh.vertices, np.float32))
+        fs.append(np.asarray(mesh.faces, np.int64) + voff)
+        n = mesh.normals
+        if n is None:
+            fn = mesh.face_normals()
+            # expand to per-vertex by duplicating flat normals at gather time:
+            # store None sentinel -> use face normal below
+            n = np.zeros_like(mesh.vertices)
+            ncount = np.zeros((mesh.vertices.shape[0], 1))
+            for k in range(3):
+                np.add.at(n, mesh.faces[:, k], fn)
+                np.add.at(ncount, mesh.faces[:, k], 1.0)
+            n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        ns.append(np.asarray(n, np.float32))
+        uv = mesh.uvs if mesh.uvs is not None else np.zeros((mesh.vertices.shape[0], 2), np.float32)
+        uvs.append(np.asarray(uv, np.float32))
+        t = mesh.faces.shape[0]
+        mids.append(np.full(t, mat, np.int32))
+        eids.append(np.full(t, emit, np.int32))
+        sids.append(np.full(t, sid, np.int32))
+        voff += mesh.vertices.shape[0]
+    v = np.concatenate(vs)
+    f = np.concatenate(fs)
+    n = np.concatenate(ns)
+    uv = np.concatenate(uvs)
+    mid = np.concatenate(mids)
+    eid = np.concatenate(eids)
+    sid = np.concatenate(sids)
+
+    bvh = build_bvh(v, f)
+    p = bvh.perm
+    f = f[p]
+    mid, eid, sid = mid[p], eid[p], sid[p]
+    if backend == "auto":
+        backend = "bvh" if f.shape[0] > 64 else "brute"
+
+    tri = v[f]  # (T,3,3)
+    return GeometryTables(
+        v0=jnp.asarray(tri[:, 0]),
+        e1=jnp.asarray(tri[:, 1] - tri[:, 0]),
+        e2=jnp.asarray(tri[:, 2] - tri[:, 0]),
+        n0=jnp.asarray(n[f[:, 0]]),
+        n1=jnp.asarray(n[f[:, 1]]),
+        n2=jnp.asarray(n[f[:, 2]]),
+        uv0=jnp.asarray(uv[f[:, 0]]),
+        uv1=jnp.asarray(uv[f[:, 1]]),
+        uv2=jnp.asarray(uv[f[:, 2]]),
+        material_id=jnp.asarray(mid),
+        emitter_id=jnp.asarray(eid),
+        shape_id=jnp.asarray(sid),
+        bvh_min=jnp.asarray(bvh.bounds_min),
+        bvh_max=jnp.asarray(bvh.bounds_max),
+        bvh_first=jnp.asarray(bvh.first),
+        bvh_count=jnp.asarray(bvh.count),
+        bvh_skip=jnp.asarray(bvh.skip),
+        backend=backend,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Möller–Trumbore, batched
+# ---------------------------------------------------------------------------
+
+_DET_EPS = 1e-9
+
+
+def _mt_hit(o, d, v0, e1, e2, mint, maxt):
+    """Batched Möller–Trumbore. All inputs broadcast to (..., 3).
+
+    Returns (t, u, v, hit_mask)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > _DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > mint)
+        & (t < maxt)
+    )
+    return t, u, v, hit
+
+
+def _closest_brute(geom: GeometryTables, ray: Ray):
+    """All-pairs closest hit: (N rays) x (T tris)."""
+    o = ray.o[:, None, :]
+    d = ray.d[:, None, :]
+    t, u, v, hit = _mt_hit(
+        o, d, geom.v0[None], geom.e1[None], geom.e2[None],
+        ray.mint[:, None], ray.maxt[:, None],
+    )
+    t_masked = jnp.where(hit, t, jnp.inf)
+    best = jnp.argmin(t_masked, axis=1)
+    n = ray.o.shape[0]
+    rows = jnp.arange(n)
+    t_best = t_masked[rows, best]
+    valid = jnp.isfinite(t_best)
+    return t_best, u[rows, best], v[rows, best], best, valid
+
+
+def _any_brute(geom: GeometryTables, ray: Ray):
+    o = ray.o[:, None, :]
+    d = ray.d[:, None, :]
+    _, _, _, hit = _mt_hit(
+        o, d, geom.v0[None], geom.e1[None], geom.e2[None],
+        ray.mint[:, None], ray.maxt[:, None],
+    )
+    return jnp.any(hit, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Stackless skip-link BVH traversal
+# ---------------------------------------------------------------------------
+
+def _slab_test(bmin, bmax, o, inv_d, mint, tmax):
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t_near = jnp.maximum(jnp.max(tn, axis=-1), mint)
+    t_far = jnp.minimum(jnp.min(tf, axis=-1), tmax)
+    return t_near <= t_far
+
+
+def _closest_bvh(geom: GeometryTables, ray: Ray):
+    n = ray.o.shape[0]
+    m_nodes = geom.bvh_min.shape[0]
+    inv_d = m.safe_rcp(ray.d)
+
+    def cond(state):
+        node, _, _, _, _ = state
+        return jnp.any(node < m_nodes)
+
+    def body(state):
+        node, t_best, uv_best, prim_best, valid = state
+        nd = jnp.minimum(node, m_nodes - 1)
+        bmin = geom.bvh_min[nd]
+        bmax = geom.bvh_max[nd]
+        count = geom.bvh_count[nd]
+        first = geom.bvh_first[nd]
+        skip = geom.bvh_skip[nd]
+        active = node < m_nodes
+        box_hit = active & _slab_test(bmin, bmax, ray.o, inv_d, ray.mint, t_best)
+        is_leaf = count > 0
+        # test up to MAX_LEAF triangles
+        do_tris = box_hit & is_leaf
+        for k in range(MAX_LEAF):
+            ti = jnp.minimum(first + k, geom.n_tris - 1)
+            t, u, v, hit = _mt_hit(
+                ray.o, ray.d, geom.v0[ti], geom.e1[ti], geom.e2[ti],
+                ray.mint, jnp.minimum(ray.maxt, t_best),
+            )
+            hit = hit & do_tris & (k < count)
+            closer = hit & (t < t_best)
+            t_best = jnp.where(closer, t, t_best)
+            uv_best = jnp.where(closer[:, None], jnp.stack([u, v], -1), uv_best)
+            prim_best = jnp.where(closer, ti, prim_best)
+            valid = valid | closer
+        next_node = jnp.where(box_hit & ~is_leaf, nd + 1, skip)
+        next_node = jnp.where(active, next_node, node)
+        return next_node, t_best, uv_best, prim_best, valid
+
+    init = (
+        jnp.zeros(n, jnp.int32),
+        jnp.full(n, jnp.inf),
+        jnp.zeros((n, 2)),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, bool),
+    )
+    node, t_best, uv_best, prim_best, valid = jax.lax.while_loop(cond, body, init)
+    return t_best, uv_best[:, 0], uv_best[:, 1], prim_best, valid
+
+
+def _any_bvh(geom: GeometryTables, ray: Ray):
+    n = ray.o.shape[0]
+    m_nodes = geom.bvh_min.shape[0]
+    inv_d = m.safe_rcp(ray.d)
+
+    def cond(state):
+        node, occluded = state
+        return jnp.any((node < m_nodes) & ~occluded)
+
+    def body(state):
+        node, occluded = state
+        nd = jnp.minimum(node, m_nodes - 1)
+        bmin = geom.bvh_min[nd]
+        bmax = geom.bvh_max[nd]
+        count = geom.bvh_count[nd]
+        first = geom.bvh_first[nd]
+        skip = geom.bvh_skip[nd]
+        active = (node < m_nodes) & ~occluded
+        box_hit = active & _slab_test(bmin, bmax, ray.o, inv_d, ray.mint, ray.maxt)
+        is_leaf = count > 0
+        do_tris = box_hit & is_leaf
+        hit_any = jnp.zeros_like(occluded)
+        for k in range(MAX_LEAF):
+            ti = jnp.minimum(first + k, geom.n_tris - 1)
+            _, _, _, hit = _mt_hit(
+                ray.o, ray.d, geom.v0[ti], geom.e1[ti], geom.e2[ti], ray.mint, ray.maxt
+            )
+            hit_any = hit_any | (hit & do_tris & (k < count))
+        occluded = occluded | hit_any
+        next_node = jnp.where(box_hit & ~is_leaf, nd + 1, skip)
+        next_node = jnp.where(active, next_node, node)
+        return next_node, occluded
+
+    init = (jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
+    _, occluded = jax.lax.while_loop(cond, body, init)
+    return occluded
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
+    """Closest-hit query → full Intersection record (reference
+    skdtree.h:352 fillIntersectionRecord equivalent)."""
+    if geom.backend == "bvh":
+        t, u, v, prim, valid = _closest_bvh(geom, ray)
+    else:
+        t, u, v, prim, valid = _closest_brute(geom, ray)
+    prim = jnp.where(valid, prim, 0)
+    p = ray.at(t)
+    w = 1.0 - u - v
+    geo_n = m.normalize(jnp.cross(geom.e1[prim], geom.e2[prim]))
+    sh_n = m.normalize(
+        w[:, None] * geom.n0[prim] + u[:, None] * geom.n1[prim] + v[:, None] * geom.n2[prim]
+    )
+    uv = (
+        w[:, None] * geom.uv0[prim] + u[:, None] * geom.uv1[prim] + v[:, None] * geom.uv2[prim]
+    )
+    frame = m.Frame.from_normal(sh_n)
+    wi = frame.to_local(-ray.d)
+    return Intersection(
+        valid=valid,
+        t=jnp.where(valid, t, jnp.inf),
+        p=p,
+        geo_n=geo_n,
+        sh_n=sh_n,
+        uv=uv,
+        dp_du=geom.e1[prim],
+        wi=wi,
+        prim_id=jnp.where(valid, prim, -1),
+        shape_id=jnp.where(valid, geom.shape_id[prim], -1),
+        material_id=jnp.where(valid, geom.material_id[prim], -1),
+        emitter_id=jnp.where(valid, geom.emitter_id[prim], -1),
+    )
+
+
+def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
+    """Any-hit (shadow ray) query → bool occlusion mask (reference
+    scene.h:241 isOccluded equivalent)."""
+    if geom.backend == "bvh":
+        return _any_bvh(geom, ray)
+    return _any_brute(geom, ray)
