@@ -1,0 +1,174 @@
+"""SoA material table: the parameter union of all BSDF kinds.
+
+One row per scene material; `kinds_present` is static so jit traces only the
+models actually used (the analog of the reference loading only the plugin
+DLLs a scene names).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_tpu.core.types import pytree_dataclass, static_field
+from mitsuba_tpu.core import microfacet as mf
+
+LAMBERTIAN = 0      # src/bsdfs/lambertian.cpp
+MIRROR = 1          # src/bsdfs/mirror.cpp
+DIELECTRIC = 2      # src/bsdfs/dielectric.cpp (smooth glass)
+ROUGH_CONDUCTOR = 3 # src/bsdfs/roughmetal.cpp + microfacet specular lobe
+PHONG = 4           # src/bsdfs/phong.cpp (diffuse+specular phong)
+WARD = 5            # src/bsdfs/ward.cpp (anisotropic)
+ROUGH_GLASS = 6     # src/bsdfs/roughglass.cpp
+DIFF_TRANS = 7      # src/bsdfs/difftrans.cpp (diffuse transmitter)
+
+KIND_NAMES = {
+    LAMBERTIAN: "lambertian",
+    MIRROR: "mirror",
+    DIELECTRIC: "dielectric",
+    ROUGH_CONDUCTOR: "roughconductor",
+    PHONG: "phong",
+    WARD: "ward",
+    ROUGH_GLASS: "roughglass",
+    DIFF_TRANS: "difftrans",
+}
+
+
+@pytree_dataclass
+class MaterialTable:
+    kind: jnp.ndarray           # (M,) int32
+    reflectance: jnp.ndarray    # (M,3) diffuse albedo / specular tint
+    specular: jnp.ndarray       # (M,3) specular reflectance (phong/ward/mirror)
+    transmittance: jnp.ndarray  # (M,3) specular transmittance (dielectric)
+    eta: jnp.ndarray            # (M,) interior/exterior IOR ratio
+    cond_eta: jnp.ndarray       # (M,3) conductor eta
+    cond_k: jnp.ndarray         # (M,3) conductor absorption
+    alpha_u: jnp.ndarray        # (M,) roughness (u axis for ward)
+    alpha_v: jnp.ndarray        # (M,) roughness v axis
+    exponent: jnp.ndarray       # (M,) phong exponent
+    dist_type: jnp.ndarray      # (M,) microfacet distribution code
+    tex_id: jnp.ndarray         # (M,) reflectance texture index, -1 = constant
+    two_sided: jnp.ndarray      # (M,) bool — twosided adapter applied
+    opacity: jnp.ndarray        # (M,) mask adapter: 1 = opaque
+    kinds_present: tuple = static_field(default=((LAMBERTIAN, 0),))
+
+    @property
+    def n_materials(self):
+        return self.kind.shape[0]
+
+    def gather(self, material_id):
+        """Gather per-lane parameter rows (clamped; id<0 ⇒ row 0, callers mask)."""
+        i = jnp.clip(material_id, 0, self.n_materials - 1)
+        return {
+            "kind": self.kind[i],
+            "reflectance": self.reflectance[i],
+            "specular": self.specular[i],
+            "transmittance": self.transmittance[i],
+            "eta": self.eta[i],
+            "cond_eta": self.cond_eta[i],
+            "cond_k": self.cond_k[i],
+            "alpha_u": self.alpha_u[i],
+            "alpha_v": self.alpha_v[i],
+            "exponent": self.exponent[i],
+            "dist_type": self.dist_type[i],
+            "tex_id": self.tex_id[i],
+            "two_sided": self.two_sided[i],
+            "opacity": self.opacity[i],
+        }
+
+
+class MaterialBuilder:
+    """Accumulates material rows host-side, emits a MaterialTable."""
+
+    def __init__(self):
+        self.rows = []
+
+    def _add(self, **kw):
+        defaults = dict(
+            kind=LAMBERTIAN,
+            reflectance=(0.5, 0.5, 0.5),
+            specular=(1.0, 1.0, 1.0),
+            transmittance=(1.0, 1.0, 1.0),
+            eta=1.5,
+            cond_eta=(0.2, 0.9, 1.4),
+            cond_k=(3.9, 2.5, 2.1),
+            alpha_u=0.1,
+            alpha_v=0.1,
+            exponent=30.0,
+            dist_type=mf.BECKMANN,
+            tex_id=-1,
+            two_sided=False,
+            opacity=1.0,
+        )
+        defaults.update(kw)
+        self.rows.append(defaults)
+        return len(self.rows) - 1
+
+    def lambertian(self, reflectance=(0.5, 0.5, 0.5), tex_id=-1):
+        return self._add(kind=LAMBERTIAN, reflectance=reflectance, tex_id=tex_id)
+
+    def mirror(self, specular=(1.0, 1.0, 1.0)):
+        return self._add(kind=MIRROR, specular=specular)
+
+    def dielectric(self, int_ior=1.5, ext_ior=1.0, specular=(1, 1, 1), transmittance=(1, 1, 1)):
+        return self._add(
+            kind=DIELECTRIC, eta=int_ior / ext_ior, specular=specular,
+            transmittance=transmittance,
+        )
+
+    def rough_conductor(self, alpha=0.1, cond_eta=(0.2, 0.9, 1.4), cond_k=(3.9, 2.5, 2.1),
+                        specular=(1, 1, 1), dist=mf.BECKMANN):
+        return self._add(
+            kind=ROUGH_CONDUCTOR, alpha_u=alpha, alpha_v=alpha,
+            cond_eta=cond_eta, cond_k=cond_k, specular=specular, dist_type=dist,
+        )
+
+    def phong(self, diffuse=(0.5, 0.5, 0.5), specular=(0.2, 0.2, 0.2), exponent=30.0, tex_id=-1):
+        return self._add(
+            kind=PHONG, reflectance=diffuse, specular=specular, exponent=exponent,
+            tex_id=tex_id,
+        )
+
+    def ward(self, diffuse=(0.5, 0.5, 0.5), specular=(0.2, 0.2, 0.2),
+             alpha_u=0.1, alpha_v=0.1):
+        return self._add(
+            kind=WARD, reflectance=diffuse, specular=specular,
+            alpha_u=alpha_u, alpha_v=alpha_v,
+        )
+
+    def rough_glass(self, alpha=0.1, int_ior=1.5, ext_ior=1.0,
+                    specular=(1, 1, 1), transmittance=(1, 1, 1), dist=mf.GGX):
+        return self._add(
+            kind=ROUGH_GLASS, alpha_u=alpha, alpha_v=alpha, eta=int_ior / ext_ior,
+            specular=specular, transmittance=transmittance, dist_type=dist,
+        )
+
+    def diff_trans(self, transmittance=(0.5, 0.5, 0.5)):
+        return self._add(kind=DIFF_TRANS, transmittance=transmittance)
+
+    def build(self) -> MaterialTable:
+        if not self.rows:
+            self.lambertian()
+        f32 = lambda k: jnp.asarray(np.array([r[k] for r in self.rows], np.float32))
+        i32 = lambda k: jnp.asarray(np.array([r[k] for r in self.rows], np.int32))
+        # (kind, dist) pairs: microfacet distribution is a static trace-time
+        # choice, so each distinct combination is dispatched separately.
+        kinds_present = tuple(
+            sorted({(int(r["kind"]), int(r["dist_type"])) for r in self.rows})
+        )
+        return MaterialTable(
+            kind=i32("kind"),
+            reflectance=f32("reflectance"),
+            specular=f32("specular"),
+            transmittance=f32("transmittance"),
+            eta=f32("eta"),
+            cond_eta=f32("cond_eta"),
+            cond_k=f32("cond_k"),
+            alpha_u=f32("alpha_u"),
+            alpha_v=f32("alpha_v"),
+            exponent=f32("exponent"),
+            dist_type=i32("dist_type"),
+            tex_id=i32("tex_id"),
+            two_sided=jnp.asarray(np.array([r["two_sided"] for r in self.rows], bool)),
+            opacity=f32("opacity"),
+            kinds_present=kinds_present,
+        )

@@ -149,18 +149,21 @@ def reflect(w, n):
     return 2.0 * dot(w, n)[..., None] * n - w
 
 
-def refract(wi, n, eta):
-    """Refract wi (away from surface) through normal n; eta = int/ext ratio.
+def refract(wi, n, rel_eta):
+    """Refract wi (pointing away from the interface) through normal n.
 
-    Returns (wt, total_internal_reflection_mask). wt points away from the
-    surface on the transmitted side.
+    rel_eta = IOR(transmitted side) / IOR(incident side) for this crossing.
+    Handles incidence from either side of n. Returns
+    (wt, total_internal_reflection_mask); wt points away from the interface
+    on the transmitted side.
     """
     cos_i = dot(wi, n)
-    eta = jnp.asarray(eta)
-    inv_eta = 1.0 / eta
-    sin2_t = inv_eta * inv_eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    rel_eta = jnp.asarray(rel_eta)
+    inv = 1.0 / rel_eta
+    sin2_t = inv * inv * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
     cos_t = safe_sqrt(1.0 - sin2_t)
-    wt = -wi * jnp.expand_dims(inv_eta, -1) if jnp.ndim(inv_eta) else -wi * inv_eta
-    wt = wt + jnp.expand_dims(inv_eta * cos_i - cos_t, -1) * n
+    coef = inv * cos_i - jnp.sign(cos_i) * cos_t
+    wt = -wi * jnp.expand_dims(jnp.broadcast_to(inv, cos_i.shape), -1) + \
+        jnp.expand_dims(coef, -1) * n
     return normalize(wt), tir

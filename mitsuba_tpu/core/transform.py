@@ -38,15 +38,19 @@ def rotate(axis, angle_deg):
 
 
 def look_at(origin, target, up):
-    """Camera-to-world: +z looks at target, y ~ up (reference transform.cpp lookAt)."""
+    """Camera-to-world: +z looks at target, y ~ up.
+
+    Matches reference transform.cpp:174 lookAt exactly:
+    x = cross(dir, up), y = cross(x, dir), z = dir (columns).
+    """
     origin = np.asarray(origin, np.float64)
     d = np.asarray(target, np.float64) - origin
     d = d / np.linalg.norm(d)
-    left = np.cross(np.asarray(up, np.float64), d)
-    left = left / np.linalg.norm(left)
-    new_up = np.cross(d, left)
+    right = np.cross(d, np.asarray(up, np.float64))
+    right = right / np.linalg.norm(right)
+    new_up = np.cross(right, d)
     m = np.eye(4)
-    m[:3, 0] = left
+    m[:3, 0] = right
     m[:3, 1] = new_up
     m[:3, 2] = d
     m[:3, 3] = origin

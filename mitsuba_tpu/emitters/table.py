@@ -1,0 +1,324 @@
+"""Emitters (luminaires): SoA table + direct-illumination sampling.
+
+Capability parity with reference src/luminaires/ (area/point/spot/
+directional/collimated/constant; envmap & sky in emitters/envmap.py) and the
+scene-level power-weighted luminaire selection
+(src/librender/scene.cpp:319-330 CDF build, scene.cpp:396 sampleLuminaire,
+scene.cpp:381 pdfLuminaire).
+
+Design: one *record* per sampling target —
+  records 0..T-1   : every triangle of every area emitter (weight ∝ area×power)
+  records T..T+E-1 : each non-area emitter (point/spot/directional/...)
+A single global CDF over records replaces the reference's two-level
+"choose luminaire, then let it sample a point" scheme with one flat,
+gather-friendly choice; the MIS pdf of hitting an area emitter with a BSDF
+ray comes from the per-triangle area pdf table.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_tpu.core import math as m
+from mitsuba_tpu.core import warp
+from mitsuba_tpu.core.spectrum import luminance
+from mitsuba_tpu.core.types import pytree_dataclass, static_field
+from mitsuba_tpu.render.records import DirectSample
+
+AREA, POINT, SPOT, DIRECTIONAL, COLLIMATED, CONSTANT, ENVMAP, SKY = range(8)
+
+DELTA_KINDS = (POINT, SPOT, DIRECTIONAL, COLLIMATED)
+
+
+@pytree_dataclass
+class EmitterTable:
+    # per-emitter data (E rows)
+    kind: jnp.ndarray        # (E,) int32
+    radiance: jnp.ndarray    # (E,3) radiance (area/constant) or intensity (point/spot)
+    position: jnp.ndarray    # (E,3) point/spot/collimated origin
+    direction: jnp.ndarray   # (E,3) spot/directional/collimated axis (unit)
+    cutoff_cos: jnp.ndarray  # (E,) spot cos(total cutoff)
+    falloff_cos: jnp.ndarray # (E,) spot cos(falloff start)
+    # per-triangle area-emitter tables (T rows, aligned with GeometryTables)
+    tri_pdf_area: jnp.ndarray  # (T,) selection-prob × (1/area) for NEE; 0 if not emissive
+    # sampling records: R = T + E_other
+    rec_cdf: jnp.ndarray       # (R,) CDF over records
+    rec_pmf: jnp.ndarray       # (R,)
+    rec_emitter: jnp.ndarray   # (R,) emitter id per record
+    n_tri_records: int = static_field(default=0)
+    kinds_present: tuple = static_field(default=())
+    env_id: int = static_field(default=-1)   # constant/env emitter id or -1
+
+    @property
+    def n_emitters(self):
+        return self.kind.shape[0]
+
+
+class EmitterBuilder:
+    """Host-side accumulation of emitters; area emitters bind to shapes."""
+
+    def __init__(self):
+        self.rows = []           # per-emitter dicts
+        self.area_shapes = []    # (emitter_idx, mesh) for area lights
+
+    def _add(self, **kw):
+        d = dict(
+            kind=AREA, radiance=(1.0, 1.0, 1.0), position=(0, 0, 0),
+            direction=(0, 0, 1), cutoff_cos=np.cos(np.deg2rad(20.0)),
+            falloff_cos=np.cos(np.deg2rad(15.0)),
+        )
+        d.update(kw)
+        self.rows.append(d)
+        return len(self.rows) - 1
+
+    def area(self, mesh, radiance):
+        """Area luminaire attached to a mesh (src/luminaires/area.cpp)."""
+        e = self._add(kind=AREA, radiance=radiance)
+        self.area_shapes.append((e, mesh))
+        return e
+
+    def point(self, position, intensity):
+        return self._add(kind=POINT, position=position, radiance=intensity)
+
+    def spot(self, position, direction, intensity, cutoff_deg=20.0, falloff_deg=15.0):
+        d = np.asarray(direction, np.float64)
+        return self._add(
+            kind=SPOT, position=position, direction=d / np.linalg.norm(d),
+            radiance=intensity,
+            cutoff_cos=np.cos(np.deg2rad(cutoff_deg)),
+            falloff_cos=np.cos(np.deg2rad(falloff_deg)),
+        )
+
+    def directional(self, direction, irradiance):
+        d = np.asarray(direction, np.float64)
+        return self._add(kind=DIRECTIONAL, direction=d / np.linalg.norm(d),
+                         radiance=irradiance)
+
+    def constant(self, radiance):
+        """Constant environment luminaire (src/luminaires/constant.cpp)."""
+        return self._add(kind=CONSTANT, radiance=radiance)
+
+    def build(self, tri_emitter_id, tri_areas) -> EmitterTable:
+        """tri_emitter_id: (T,) per-triangle emitter binding (-1 none) in BVH
+        order; tri_areas: (T,) triangle areas."""
+        if not self.rows:
+            # no emitters: single dummy row, zero CDF
+            self.rows.append(
+                dict(kind=POINT, radiance=(0, 0, 0), position=(0, 0, 0),
+                     direction=(0, 0, 1), cutoff_cos=0.0, falloff_cos=0.0)
+            )
+        e = len(self.rows)
+        kind = np.array([r["kind"] for r in self.rows], np.int32)
+        radiance = np.array([r["radiance"] for r in self.rows], np.float32)
+        t = int(tri_emitter_id.shape[0])
+        tri_emitter_id = np.asarray(tri_emitter_id)
+        tri_areas = np.asarray(tri_areas, np.float64)
+
+        # record weights: emissive triangles weighted by area × luminance
+        lum = np.maximum(
+            0.212671 * radiance[:, 0] + 0.71516 * radiance[:, 1] + 0.072169 * radiance[:, 2],
+            0.0,
+        )
+        tri_w = np.where(
+            tri_emitter_id >= 0,
+            tri_areas * lum[np.clip(tri_emitter_id, 0, e - 1)],
+            0.0,
+        )
+        other_ids = [i for i in range(e) if kind[i] != AREA and lum[i] > 0]
+        other_w = []
+        for i in other_ids:
+            if kind[i] in (CONSTANT, ENVMAP, SKY):
+                other_w.append(lum[i] * 4.0 * np.pi)
+            else:
+                other_w.append(lum[i] * 4.0 * np.pi)
+        rec_w = np.concatenate([tri_w, np.asarray(other_w, np.float64)]) if other_ids \
+            else tri_w
+        total = rec_w.sum()
+        pmf = rec_w / total if total > 0 else np.zeros_like(rec_w)
+        cdf = np.cumsum(pmf)
+        rec_emitter = np.concatenate(
+            [np.clip(tri_emitter_id, 0, e - 1), np.asarray(other_ids, np.int64)]
+        ).astype(np.int32) if other_ids else np.clip(tri_emitter_id, 0, e - 1).astype(np.int32)
+
+        # per-triangle NEE area pdf: P(pick tri) / area  (0 for non-emissive)
+        tri_pdf_area = np.where(
+            (tri_w > 0) & (tri_areas > 0), pmf[:t] / np.maximum(tri_areas, 1e-20), 0.0
+        )
+
+        env_id = -1
+        for i in range(e):
+            if kind[i] in (CONSTANT, ENVMAP, SKY):
+                env_id = i
+        return EmitterTable(
+            kind=jnp.asarray(kind),
+            radiance=jnp.asarray(radiance),
+            position=jnp.asarray(
+                np.array([r["position"] for r in self.rows], np.float32)
+            ),
+            direction=jnp.asarray(
+                np.array([r["direction"] for r in self.rows], np.float32)
+            ),
+            cutoff_cos=jnp.asarray(
+                np.array([r["cutoff_cos"] for r in self.rows], np.float32)
+            ),
+            falloff_cos=jnp.asarray(
+                np.array([r["falloff_cos"] for r in self.rows], np.float32)
+            ),
+            tri_pdf_area=jnp.asarray(tri_pdf_area, jnp.float32),
+            rec_cdf=jnp.asarray(cdf, jnp.float32),
+            rec_pmf=jnp.asarray(pmf, jnp.float32),
+            rec_emitter=jnp.asarray(rec_emitter),
+            n_tri_records=t,
+            kinds_present=tuple(sorted(set(int(k) for k in kind))),
+            env_id=env_id,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Direct sampling (NEE) — reference Scene::sampleLuminaire (scene.cpp:396)
+# ---------------------------------------------------------------------------
+
+def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSample:
+    """Sample a direction toward the scene's emitters from points p_ref.
+
+    geom: GeometryTables (for area-emitter triangle data).
+    u_select: (N,) uniform for record selection; u_pos: (N,2) position sample.
+    Returns DirectSample with pdf in solid-angle measure and
+    value = emitted radiance (NOT divided by pdf — caller divides).
+    """
+    n = p_ref.shape[0]
+    rec = jnp.searchsorted(em.rec_cdf, u_select, side="right")
+    rec = jnp.clip(rec, 0, em.rec_pmf.shape[0] - 1).astype(jnp.int32)
+    pmf = em.rec_pmf[rec]
+    eid = em.rec_emitter[rec]
+    kind = em.kind[eid]
+    is_tri = rec < em.n_tri_records
+
+    out_d = jnp.zeros((n, 3))
+    out_dist = jnp.full((n,), jnp.inf)
+    out_n = jnp.zeros((n, 3))
+    out_value = jnp.zeros((n, 3))
+    out_pdf = jnp.zeros((n,))
+    out_delta = jnp.zeros((n,), bool)
+    valid = pmf > 0
+
+    kinds = em.kinds_present
+    if AREA in kinds:
+        ti = jnp.clip(rec, 0, geom.v0.shape[0] - 1)
+        bary = warp.square_to_uniform_triangle(u_pos)
+        pos = geom.v0[ti] + geom.e1[ti] * bary[:, :1] + geom.e2[ti] * bary[:, 1:2]
+        nrm = m.normalize(jnp.cross(geom.e1[ti], geom.e2[ti]))
+        to_l = pos - p_ref
+        dist2 = jnp.maximum(m.squared_length(to_l), 1e-12)
+        dist = jnp.sqrt(dist2)
+        d = to_l / dist[:, None]
+        cos_l = m.dot(nrm, -d)              # one-sided: emits on normal side
+        pdf_area = em.tri_pdf_area[ti]
+        pdf_sa = pdf_area * dist2 / jnp.maximum(cos_l, 1e-8)
+        ok = is_tri & (cos_l > 1e-6) & (pdf_area > 0)
+        out_d = jnp.where(ok[:, None], d, out_d)
+        out_dist = jnp.where(ok, dist, out_dist)
+        out_n = jnp.where(ok[:, None], nrm, out_n)
+        out_value = jnp.where(ok[:, None], em.radiance[eid], out_value)
+        out_pdf = jnp.where(ok, pdf_sa, out_pdf)
+        valid = valid & jnp.where(is_tri, ok, True)
+
+    sel_other = ~is_tri
+    if POINT in kinds:
+        mask = sel_other & (kind == POINT)
+        to_l = em.position[eid] - p_ref
+        dist2 = jnp.maximum(m.squared_length(to_l), 1e-12)
+        dist = jnp.sqrt(dist2)
+        d = to_l / dist[:, None]
+        # value = intensity / dist^2 ; pdf folded as discrete (delta)
+        out_d = jnp.where(mask[:, None], d, out_d)
+        out_dist = jnp.where(mask, dist, out_dist)
+        out_value = jnp.where(
+            mask[:, None], em.radiance[eid] / dist2[:, None], out_value
+        )
+        out_pdf = jnp.where(mask, pmf, out_pdf)
+        out_delta = out_delta | mask
+    if SPOT in kinds:
+        mask = sel_other & (kind == SPOT)
+        to_l = em.position[eid] - p_ref
+        dist2 = jnp.maximum(m.squared_length(to_l), 1e-12)
+        dist = jnp.sqrt(dist2)
+        d = to_l / dist[:, None]
+        cos_a = m.dot(em.direction[eid], -d)
+        cc, fc = em.cutoff_cos[eid], em.falloff_cos[eid]
+        fall = jnp.clip((cos_a - cc) / jnp.maximum(fc - cc, 1e-6), 0.0, 1.0)
+        inten = em.radiance[eid] * fall[:, None]
+        inside = cos_a > cc
+        out_d = jnp.where(mask[:, None], d, out_d)
+        out_dist = jnp.where(mask, dist, out_dist)
+        out_value = jnp.where(
+            (mask & inside)[:, None], inten / dist2[:, None], out_value
+        )
+        out_pdf = jnp.where(mask, pmf, out_pdf)
+        out_delta = out_delta | mask
+        valid = valid & jnp.where(mask, inside, True)
+    if DIRECTIONAL in kinds:
+        mask = sel_other & (kind == DIRECTIONAL)
+        d = -em.direction[eid]
+        out_d = jnp.where(mask[:, None], d, out_d)
+        out_dist = jnp.where(mask, 1e7, out_dist)
+        out_value = jnp.where(mask[:, None], em.radiance[eid], out_value)
+        out_pdf = jnp.where(mask, pmf, out_pdf)
+        out_delta = out_delta | mask
+    if CONSTANT in kinds:
+        mask = sel_other & (kind == CONSTANT)
+        d = warp.square_to_uniform_sphere(u_pos)
+        out_d = jnp.where(mask[:, None], d, out_d)
+        out_dist = jnp.where(mask, 1e7, out_dist)
+        out_value = jnp.where(mask[:, None], em.radiance[eid], out_value)
+        out_pdf = jnp.where(mask, pmf * m.INV_FOURPI, out_pdf)
+
+    return DirectSample(
+        d=out_d,
+        dist=out_dist,
+        n=out_n,
+        value=out_value,
+        pdf=out_pdf,
+        emitter_id=eid,
+        delta=out_delta,
+        valid=valid & (out_pdf > 0),
+    )
+
+
+def pdf_direct_area(em: EmitterTable, prim_id, p_ref, p_hit, n_hit):
+    """Solid-angle NEE pdf of having sampled the area-emitter point p_hit on
+    triangle prim_id from p_ref — the MIS counterweight when a BSDF ray hits
+    a luminaire (reference Scene::pdfLuminaire, scene.cpp:381)."""
+    ti = jnp.clip(prim_id, 0, em.tri_pdf_area.shape[0] - 1)
+    pdf_area = em.tri_pdf_area[ti]
+    to_l = p_hit - p_ref
+    dist2 = jnp.maximum(m.squared_length(to_l), 1e-12)
+    d = to_l / jnp.sqrt(dist2)[:, None]
+    cos_l = m.dot(n_hit, -d)
+    return jnp.where(cos_l > 1e-6, pdf_area * dist2 / jnp.maximum(cos_l, 1e-8), 0.0)
+
+
+def eval_emitter_hit(em: EmitterTable, emitter_id, wi_world, n_hit):
+    """Radiance emitted toward wi_world when a ray hits an area emitter
+    (reference AreaLuminaire::Le — one-sided on the normal side)."""
+    eid = jnp.clip(emitter_id, 0, em.n_emitters - 1)
+    vis = (emitter_id >= 0) & (m.dot(n_hit, wi_world) > 0)
+    return jnp.where(vis[:, None], em.radiance[eid], 0.0)
+
+
+def eval_environment(em: EmitterTable, d_world):
+    """Background radiance for escaped rays (reference Scene::LeBackground)."""
+    if em.env_id < 0:
+        return jnp.zeros(d_world.shape[:-1] + (3,))
+    return jnp.broadcast_to(em.radiance[em.env_id], d_world.shape[:-1] + (3,))
+
+
+def pdf_environment(em: EmitterTable, d_world):
+    """NEE solid-angle pdf of sampling direction d toward the environment."""
+    if em.env_id < 0:
+        return jnp.zeros(d_world.shape[:-1])
+    # env emitters are appended after the triangle records; locate by id
+    rec_ids = em.rec_emitter[em.n_tri_records:]
+    mask = rec_ids == em.env_id
+    pmf_env = jnp.sum(jnp.where(mask, em.rec_pmf[em.n_tri_records:], 0.0))
+    return jnp.full(d_world.shape[:-1], pmf_env * m.INV_FOURPI)

@@ -92,12 +92,24 @@ def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
     eid = np.concatenate(eids)
     sid = np.concatenate(sids)
 
-    bvh = build_bvh(v, f)
+    if backend == "auto":
+        backend = "bvh" if f.shape[0] > 64 else "brute"
+    if backend == "bvh":
+        bvh = build_bvh(v, f)
+    else:
+        # brute force needs no tree: single leaf covering everything
+        t = f.shape[0]
+        bvh = BVH(
+            bounds_min=np.min(v, axis=0, keepdims=True).astype(np.float32),
+            bounds_max=np.max(v, axis=0, keepdims=True).astype(np.float32),
+            first=np.zeros(1, np.int32),
+            count=np.asarray([t], np.int32),
+            skip=np.ones(1, np.int32),
+            perm=np.arange(t, dtype=np.int64),
+        )
     p = bvh.perm
     f = f[p]
     mid, eid, sid = mid[p], eid[p], sid[p]
-    if backend == "auto":
-        backend = "bvh" if f.shape[0] > 64 else "brute"
 
     tri = v[f]  # (T,3,3)
     return GeometryTables(

@@ -1,0 +1,125 @@
+"""Scene container: geometry + materials + emitters + camera as one pytree.
+
+Replaces the reference `Scene` object graph (include/mitsuba/render/scene.h:46,
+initialize at src/librender/scene.cpp:291) with a flat pytree of SoA tables —
+the whole scene is jit-traceable, replicable across a device mesh, and
+differentiable (grad flows into material/emitter/camera arrays).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mitsuba_tpu.bsdfs import MaterialBuilder, MaterialTable
+from mitsuba_tpu.core import transform as tf
+from mitsuba_tpu.core.types import pytree_dataclass, static_field
+from mitsuba_tpu.emitters import EmitterBuilder, EmitterTable
+from mitsuba_tpu.render.camera import Camera, make_perspective
+from mitsuba_tpu.render import mesh as mesh_mod
+from mitsuba_tpu.render.intersect import GeometryTables, build_geometry
+
+
+@pytree_dataclass
+class Scene:
+    geom: GeometryTables
+    materials: MaterialTable
+    emitters: EmitterTable
+    camera: Camera
+    width: int = static_field(default=256)
+    height: int = static_field(default=256)
+
+
+class SceneBuilder:
+    """Host-side scene assembly: shapes bind materials and area emitters."""
+
+    def __init__(self):
+        self.materials = MaterialBuilder()
+        self.emitters = EmitterBuilder()
+        self._shapes = []     # (mesh, material_id, emitter_id)
+        self.camera = None
+        self.width = 256
+        self.height = 256
+
+    def add_shape(self, mesh, material_id, emitter_id=-1):
+        self._shapes.append((mesh, material_id, emitter_id))
+        return len(self._shapes) - 1
+
+    def add_area_emitter_shape(self, mesh, material_id, radiance):
+        eid = self.emitters.area(mesh, radiance)
+        return self.add_shape(mesh, material_id, eid)
+
+    def set_camera(self, camera: Camera, width: int, height: int):
+        self.camera = camera
+        self.width, self.height = width, height
+
+    def build(self, backend: str = "auto") -> Scene:
+        if not self._shapes:
+            raise ValueError("scene has no shapes")
+        geom = build_geometry(self._shapes, backend=backend)
+        # triangle->emitter binding arrives in BVH order inside geom
+        tri_emitter = np.asarray(geom.emitter_id)
+        # areas in the same (BVH) order
+        e1 = np.asarray(geom.e1)
+        e2 = np.asarray(geom.e2)
+        areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        em = self.emitters.build(tri_emitter, areas)
+        mats = self.materials.build()
+        cam = self.camera
+        if cam is None:
+            cam = make_perspective(tf.identity(), 45.0, self.width / self.height)
+        return Scene(
+            geom=geom, materials=mats, emitters=em, camera=cam,
+            width=self.width, height=self.height,
+        )
+
+
+def cornell_box(width=256, height=256, backend="brute") -> Scene:
+    """The classic Cornell box — the headline benchmark scene
+    (BASELINE.json config 1). Dimensions after the original Cornell data
+    (mirrored by mitsuba's cbox scene): 556×548.8×559.2 units."""
+    b = SceneBuilder()
+    white = b.materials.lambertian((0.725, 0.71, 0.68))
+    red = b.materials.lambertian((0.63, 0.065, 0.05))
+    green = b.materials.lambertian((0.14, 0.45, 0.091))
+    light_mat = b.materials.lambertian((0.0, 0.0, 0.0))
+
+    mq = mesh_mod.make_quad
+    # floor / ceiling / back wall (normals inward)
+    b.add_shape(mq([552.8, 0, 0], [0, 0, 0], [0, 0, 559.2], [549.6, 0, 559.2], "floor"), white)
+    b.add_shape(mq([556, 548.8, 0], [556, 548.8, 559.2], [0, 548.8, 559.2], [0, 548.8, 0], "ceiling"), white)
+    b.add_shape(mq([549.6, 0, 559.2], [0, 0, 559.2], [0, 548.8, 559.2], [556, 548.8, 559.2], "back"), white)
+    b.add_shape(mq([0, 0, 559.2], [0, 0, 0], [0, 548.8, 0], [0, 548.8, 559.2], "right-green"), green)
+    b.add_shape(mq([552.8, 0, 0], [549.6, 0, 559.2], [556, 548.8, 559.2], [556, 548.8, 0], "left-red"), red)
+
+    # short block
+    sb = [
+        mq([130, 165, 65], [82, 165, 225], [240, 165, 272], [290, 165, 114]),
+        mq([290, 0, 114], [290, 165, 114], [240, 165, 272], [240, 0, 272]),
+        mq([130, 0, 65], [130, 165, 65], [290, 165, 114], [290, 0, 114]),
+        mq([82, 0, 225], [82, 165, 225], [130, 165, 65], [130, 0, 65]),
+        mq([240, 0, 272], [240, 165, 272], [82, 165, 225], [82, 0, 225]),
+    ]
+    for q in sb:
+        b.add_shape(q, white)
+    # tall block
+    tb = [
+        mq([423, 330, 247], [265, 330, 296], [314, 330, 456], [472, 330, 406]),
+        mq([423, 0, 247], [423, 330, 247], [472, 330, 406], [472, 0, 406]),
+        mq([472, 0, 406], [472, 330, 406], [314, 330, 456], [314, 0, 456]),
+        mq([314, 0, 456], [314, 330, 456], [265, 330, 296], [265, 0, 296]),
+        mq([265, 0, 296], [265, 330, 296], [423, 330, 247], [423, 0, 247]),
+    ]
+    for q in tb:
+        b.add_shape(q, white)
+
+    # light (slightly below ceiling, facing down)
+    light = mq([343, 548.7, 227], [343, 548.7, 332], [213, 548.7, 332], [213, 548.7, 227], "light")
+    b.add_area_emitter_shape(light, light_mat, (18.4, 15.6, 8.0))
+
+    cam = make_perspective(
+        tf.look_at([278, 273, -800], [278, 273, 0], [0, 1, 0]),
+        fov_deg=39.3077,
+        aspect=width / height,
+    )
+    b.set_camera(cam, width, height)
+    return b.build(backend=backend)
