@@ -71,9 +71,11 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
     prev_pdf = jnp.zeros(n)        # BSDF pdf of the ray that produced this hit
     prev_delta = jnp.ones(n, bool)  # camera ray counts as delta (full Le)
     depth_count = jnp.zeros(n, jnp.int32)
+    rays_traced = jnp.zeros((), jnp.float32)   # closest-hit + shadow rays
 
     def bounce(carry, depth, u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr):
-        L, throughput, ray, active, prev_pdf, prev_delta, depth_count = carry
+        L, throughput, ray, active, prev_pdf, prev_delta, depth_count, rays_traced = carry
+        rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
         its = ray_intersect(scene.geom, ray)
 
         # --- escaped rays: background luminaire with MIS ----------------
@@ -95,7 +97,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         L = L + jnp.where(active[:, None], throughput * le * w_bsdf[:, None], 0.0)
 
         if depth + 1 >= cfg.max_depth:
-            return (L, throughput, ray, active, prev_pdf, prev_delta, depth_count)
+            return (L, throughput, ray, active, prev_pdf, prev_delta,
+                    depth_count, rays_traced)
 
         # --- next-event estimation (luminaire sampling) -----------------
         ds = sample_direct(
@@ -110,6 +113,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(its.p).max(-1))
         shadow = Ray.make(its.p, ds.d, mint=eps, maxt=ds.dist * (1.0 - 1e-3))
         occluded = ray_test(scene.geom, shadow)
+        rays_traced = rays_traced + jnp.sum(nee_ok.astype(jnp.float32))
         nee_ok = nee_ok & ~occluded
         w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, b_pdf))
         contrib = throughput * fcos * ds.value * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
@@ -141,9 +145,11 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
             o=jnp.where(active[:, None], new_ray.o, ray.o),
             d=jnp.where(active[:, None], new_ray.d, ray.d),
         )
-        return (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"], depth_count)
+        return (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"],
+                depth_count, rays_traced)
 
-    carry = (L, throughput, ray, active, prev_pdf, prev_delta, depth_count)
+    carry = (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
+             rays_traced)
     for depth in range(cfg.max_depth):
         us = (
             sampler.next_1d(), sampler.next_2d(), sampler.next_2d(),
@@ -155,8 +161,11 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
             else (lambda c, u, d=depth: bounce(c, d, *u))
         )
         carry = step(carry, us)
-    L, throughput, ray, active, prev_pdf, prev_delta, depth_count = carry
-    return L, {"avg_path_length": jnp.mean(depth_count.astype(jnp.float32))}
+    L, throughput, ray, active, prev_pdf, prev_delta, depth_count, rays_traced = carry
+    return L, {
+        "avg_path_length": jnp.mean(depth_count.astype(jnp.float32)),
+        "rays_traced": rays_traced,
+    }
 
 
 def render(scene, cfg: PathConfig, seed: int = 0):

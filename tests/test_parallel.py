@@ -1,0 +1,56 @@
+"""Sharded rendering must match single-device rendering (to float
+reassociation tolerance — the random streams are identical by construction),
+and the sharded training step must run — the test strategy the reference
+lacked (SURVEY.md §4: mtssrv had no mock cluster; we test on a virtual
+mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_tpu.core.types import replace
+from mitsuba_tpu.integrators import PathConfig, render
+from mitsuba_tpu.parallel import make_mesh, render_sharded, training_step_sharded
+from mitsuba_tpu.render.scene import cornell_box
+
+
+def test_sharded_matches_single():
+    scene = cornell_box(16, 16)
+    cfg = PathConfig(max_depth=3, spp=4, remat=False)
+    img1, _ = render(scene, cfg, seed=3)
+    mesh = make_mesh(jax.devices()[:8])
+    img8, _ = render_sharded(scene, cfg, seed=3, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(img8), rtol=2e-5, atol=1e-7
+    )
+
+
+def test_sharded_subset_devices():
+    scene = cornell_box(16, 16)
+    cfg = PathConfig(max_depth=2, spp=2, remat=False)
+    img1, _ = render(scene, cfg, seed=1)
+    for nd in (2, 4):
+        mesh = make_mesh(jax.devices()[:nd])
+        imgn, _ = render_sharded(scene, cfg, seed=1, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(img1), np.asarray(imgn), rtol=2e-5, atol=1e-7
+        )
+
+
+def test_training_step_sharded():
+    scene = cornell_box(8, 8)
+    cfg = PathConfig(max_depth=2, spp=2, remat=True)
+    mesh = make_mesh(jax.devices()[:4])
+    params = {"reflectance": scene.materials.reflectance}
+
+    def apply_params(sc, p):
+        return replace(sc, materials=replace(sc.materials, reflectance=p["reflectance"]))
+
+    target = jnp.zeros((8, 8, 3))
+    new_params, loss = training_step_sharded(
+        scene, cfg, target, params, apply_params, seed=0, mesh=mesh
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    delta = np.abs(
+        np.asarray(new_params["reflectance"]) - np.asarray(params["reflectance"])
+    )
+    assert delta.max() > 0, "no gradient reached the material parameters"
