@@ -344,11 +344,16 @@ def _roughglass_terms(p, wi, wo):
     eta_o = jnp.where(ci > 0, eta, 1.0)
     ht = m.normalize(-(wi * eta_i[..., None] + wo * eta_o[..., None]))
     ht = ht * jnp.sign(ht[..., 2:3])
-    return dist, alpha, eta, ci, co, wh, ht, eta_i, eta_o
+    # physical-orientation guards (reference roughglass.cpp sidedness):
+    # each direction must lie on its own side of the micronormal
+    ok_r = (m.dot(wi, wh) * ci > 0) & (m.dot(wo, wh) * co > 0)
+    ok_t = (m.dot(wi, ht) * ci > 0) & (m.dot(wo, ht) * co > 0)
+    return dist, alpha, eta, ci, co, wh, ht, eta_i, eta_o, ok_r, ok_t
 
 
 def roughglass_eval(p, wi, wo):
-    dist, alpha, eta, ci, co, wh, ht, eta_i, eta_o = _roughglass_terms(p, wi, wo)
+    (dist, alpha, eta, ci, co, wh, ht, eta_i, eta_o, ok_r, ok_t) = \
+        _roughglass_terms(p, wi, wo)
     is_reflect = ci * co > 0
     # ---- reflection: fCos = F D G / (4 |ci|)
     fr_r, _ = fresnel_dielectric_ext(m.dot(wi, wh), eta)
@@ -366,12 +371,17 @@ def roughglass_eval(p, wi, wo):
     )
     f_t = f_t * (eta_i / eta_o) ** 2
     val_t = p["transmittance"] * (f_t * jnp.abs(co))[..., None]
-    val = jnp.where(is_reflect[..., None], val_r, val_t)
+    val = jnp.where(
+        is_reflect[..., None],
+        jnp.where(ok_r[..., None], val_r, 0.0),
+        jnp.where(ok_t[..., None], val_t, 0.0),
+    )
     return jnp.where((jnp.abs(ci) > 1e-6)[..., None], val, 0.0)
 
 
 def roughglass_pdf(p, wi, wo):
-    dist, alpha, eta, ci, co, wh, ht, eta_i, eta_o = _roughglass_terms(p, wi, wo)
+    (dist, alpha, eta, ci, co, wh, ht, eta_i, eta_o, ok_r, ok_t) = \
+        _roughglass_terms(p, wi, wo)
     is_reflect = ci * co > 0
     fr_r, _ = fresnel_dielectric_ext(m.dot(wi, wh), eta)
     pdf_r = fr_r * mf.pdf_wh(dist, alpha, wh) / jnp.maximum(4.0 * jnp.abs(m.dot(wo, wh)), 1e-8)
@@ -379,7 +389,9 @@ def roughglass_pdf(p, wi, wo):
     fr_t, _ = fresnel_dielectric_ext(wi_ht, eta)
     jac = eta_o * eta_o * jnp.abs(wo_ht) / jnp.maximum((eta_i * wi_ht + eta_o * wo_ht) ** 2, 1e-10)
     pdf_t = (1.0 - fr_t) * mf.pdf_wh(dist, alpha, ht) * jac
-    return jnp.where(is_reflect, pdf_r, pdf_t)
+    return jnp.where(
+        is_reflect, jnp.where(ok_r, pdf_r, 0.0), jnp.where(ok_t, pdf_t, 0.0)
+    )
 
 
 def roughglass_sample(p, wi, u2, u1):
@@ -398,7 +410,11 @@ def roughglass_sample(p, wi, u2, u1):
     fcos = roughglass_eval(p, wi, wo)
     co = m.cos_theta(wo)
     ok_side = jnp.where(reflect, ci * co > 0, ci * co < 0)
-    valid = ok_side & (pdf > 1e-10) & (reflect | ~tir)
+    # reject backfacing micronormals (wh not visible from wi's side) — the
+    # pdf only models front-facing events; cf. reference roughglass.cpp
+    # sidedness guard
+    facing = cos_ih * ci > 0
+    valid = ok_side & facing & (pdf > 1e-10) & (reflect | ~tir)
     s = _zero_sample(wi)
     s.update(
         wo=wo,

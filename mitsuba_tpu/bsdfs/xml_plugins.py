@@ -1,0 +1,116 @@
+"""XML bsdf-node → MaterialBuilder row mapping.
+
+Property names match the reference plugin constructors exactly
+(e.g. src/bsdfs/roughglass.cpp:96-118: specularReflectance,
+specularTransmittance, alphaB/alpha, intIOR/extIOR, distribution;
+src/bsdfs/roughmetal.cpp:38-41: alphaB, ior, k).
+"""
+from __future__ import annotations
+
+from mitsuba_tpu.core import microfacet as mf
+
+_DIST = {"beckmann": mf.BECKMANN, "ggx": mf.GGX, "phong": mf.PHONG}
+
+
+def _spec(props, name, default):
+    v = props.get(name, default)
+    if isinstance(v, (int, float)):
+        return (float(v),) * 3
+    return tuple(v)
+
+
+def build_material(mb, bsdf_node, two_sided: bool = False, opacity=None):
+    """mb: MaterialBuilder; bsdf_node: parsed dict from io/xml.py.
+    Returns material row id."""
+    t = bsdf_node["type"]
+    p = bsdf_node["props"]
+
+    def finish(mid):
+        if two_sided:
+            mb.rows[mid]["two_sided"] = True
+        if opacity is not None:
+            mb.rows[mid]["opacity"] = float(opacity[0]) if isinstance(opacity, tuple) else float(opacity)
+        return mid
+
+    if t in ("lambertian", "diffuse"):
+        return finish(mb.lambertian(_spec(p, "reflectance", 0.5)))
+    if t == "mirror":
+        return finish(mb.mirror(_spec(p, "specularReflectance", 1.0)))
+    if t == "dielectric":
+        return finish(
+            mb.dielectric(
+                int_ior=float(p.get("intIOR", 1.5046)),
+                ext_ior=float(p.get("extIOR", 1.0)),
+                specular=_spec(p, "specularReflectance", 1.0),
+                transmittance=_spec(p, "specularTransmittance", 1.0),
+            )
+        )
+    if t in ("roughglass", "roughdielectric"):
+        alpha = float(p.get("alphaB", p.get("alpha", 0.1)))
+        return finish(
+            mb.rough_glass(
+                alpha=alpha,
+                int_ior=float(p.get("intIOR", 1.5046)),
+                ext_ior=float(p.get("extIOR", 1.0)),
+                specular=_spec(p, "specularReflectance", 1.0),
+                transmittance=_spec(p, "specularTransmittance", 1.0),
+                dist=_DIST.get(p.get("distribution", "beckmann"), mf.BECKMANN),
+            )
+        )
+    if t in ("roughmetal", "roughconductor"):
+        return finish(
+            mb.rough_conductor(
+                alpha=float(p.get("alphaB", p.get("alpha", 0.1))),
+                cond_eta=_spec(p, "ior", 0.370),
+                cond_k=_spec(p, "k", 2.820),
+                specular=_spec(p, "specularReflectance", 1.0),
+                dist=_DIST.get(p.get("distribution", "beckmann"), mf.BECKMANN),
+            )
+        )
+    if t == "phong":
+        return finish(
+            mb.phong(
+                diffuse=_spec(p, "diffuseReflectance", 0.5),
+                specular=_spec(p, "specularReflectance", 0.2),
+                exponent=float(p.get("exponent", 10.0)),
+            )
+        )
+    if t == "ward":
+        return finish(
+            mb.ward(
+                diffuse=_spec(p, "diffuseReflectance", 0.5),
+                specular=_spec(p, "specularReflectance", 0.2),
+                alpha_u=float(p.get("alphaX", 0.1)),
+                alpha_v=float(p.get("alphaY", 0.1)),
+            )
+        )
+    if t == "microfacet":
+        # reference microfacet.cpp: diffuse + Beckmann specular combo; the
+        # closest single-row analog is phong with the Beckmann-matched
+        # exponent (Walter mapping 2/a^2 - 2)
+        alpha = float(p.get("alphaB", 0.1))
+        return finish(
+            mb.phong(
+                diffuse=_spec(p, "diffuseReflectance", 0.0),
+                specular=_spec(p, "specularReflectance", 1.0),
+                exponent=max(2.0 / (alpha * alpha) - 2.0, 1.0),
+            )
+        )
+    if t == "difftrans":
+        return finish(mb.diff_trans(_spec(p, "transmittance", 0.5)))
+    if t == "twosided":
+        inner = _first_bsdf_child(bsdf_node)
+        return build_material(mb, inner, two_sided=True, opacity=opacity)
+    if t == "mask":
+        inner = _first_bsdf_child(bsdf_node)
+        return build_material(
+            mb, inner, two_sided=two_sided, opacity=p.get("opacity", (1.0, 1.0, 1.0))
+        )
+    raise ValueError(f"unsupported bsdf type '{t}'")
+
+
+def _first_bsdf_child(node):
+    for c in node["children"]:
+        if c["category"] == "bsdf":
+            return c
+    raise ValueError(f"<bsdf type='{node['type']}'> needs a nested bsdf")

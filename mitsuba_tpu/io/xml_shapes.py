@@ -1,0 +1,155 @@
+"""XML shape/luminaire-node assembly into the SceneBuilder.
+
+Shapes (reference src/shapes/): obj, ply, serialized (file meshes), sphere,
+cylinder (analytic in the reference — tessellated here; property names match
+sphere.cpp:46, cylinder.cpp:43, obj.cpp:69, serialized.cpp:33).
+Luminaires (src/luminaires/): area attached to shapes (area.cpp:40
+"intensity"), scene-level point/spot/directional/constant.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from mitsuba_tpu.core import transform as tf
+from mitsuba_tpu.emitters import table as em_table
+from mitsuba_tpu.io import meshio
+from mitsuba_tpu.render import mesh as mesh_mod
+
+
+def _spec(props, name, default):
+    v = props.get(name, default)
+    if isinstance(v, (int, float)):
+        return (float(v),) * 3
+    return tuple(v)
+
+
+def _find(node, category):
+    for c in node["children"]:
+        if c["category"] == category:
+            return c
+    return None
+
+
+def _make_cylinder_mesh(p1, p2, radius, n_phi=64):
+    """Capless cylinder between p1 and p2 (reference cylinder.cpp is
+    open-ended as well)."""
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
+    axis = p2 - p1
+    length = np.linalg.norm(axis)
+    z = axis / length
+    # build orthonormal frame
+    a = np.array([1.0, 0, 0]) if abs(z[0]) < 0.9 else np.array([0, 1.0, 0])
+    x = np.cross(a, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    phi = np.linspace(0, 2 * np.pi, n_phi + 1)
+    ring = (np.cos(phi)[:, None] * x + np.sin(phi)[:, None] * y) * radius
+    v0 = p1 + ring
+    v1 = p2 + ring
+    verts = np.concatenate([v0, v1]).astype(np.float32)
+    normals = np.concatenate([ring, ring]) / radius
+    faces = []
+    w = n_phi + 1
+    for i in range(n_phi):
+        faces.append([i, i + 1, w + i + 1])
+        faces.append([i, w + i + 1, w + i])
+    return mesh_mod.TriMesh(
+        verts, np.asarray(faces, np.int32),
+        normals=np.asarray(normals, np.float32), name="cylinder",
+    )
+
+
+def load_shape_mesh(shape_node, base_dir):
+    t = shape_node["type"]
+    p = shape_node["props"]
+    if t == "obj":
+        mesh = meshio.load_obj(os.path.join(base_dir, p["filename"]))
+        if p.get("faceNormals", False):
+            mesh.normals = None
+    elif t == "ply":
+        mesh = meshio.load_ply(os.path.join(base_dir, p["filename"]))
+    elif t == "serialized":
+        mesh = meshio.load_serialized(
+            os.path.join(base_dir, p["filename"]), int(p.get("shapeIndex", 0))
+        )
+    elif t == "sphere":
+        center = p.get("center", (0.0, 0.0, 0.0))
+        radius = float(p.get("radius", 1.0))
+        mesh = mesh_mod.make_sphere_mesh(center, radius, 48, 96)
+        if p.get("inverted", False):
+            mesh.faces = mesh.faces[:, ::-1].copy()
+            mesh.normals = -mesh.normals
+    elif t == "cylinder":
+        mesh = _make_cylinder_mesh(
+            p.get("p1", (0, 0, 0)), p.get("p2", (0, 0, 1)),
+            float(p.get("radius", 1.0)),
+        )
+    else:
+        raise ValueError(f"unsupported shape type '{t}'")
+    to_world = p.get("toWorld")
+    if to_world is not None:
+        mesh = mesh.transformed(np.asarray(to_world))
+    if p.get("flipNormals", False):
+        mesh.faces = mesh.faces[:, ::-1].copy()
+        if mesh.normals is not None:
+            mesh.normals = -mesh.normals
+    return mesh
+
+
+def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
+    mesh = load_shape_mesh(shape_node, base_dir)
+    bsdf = _find(shape_node, "bsdf")
+    lum = _find(shape_node, "luminaire")
+    if bsdf is not None:
+        mid = material_fn(builder, bsdf, mat_cache)
+    else:
+        # reference default: lambertian 0.5 when shape has no BSDF but is
+        # not a pure emitter
+        mid = mat_cache.setdefault(
+            "__default__", builder.materials.lambertian((0.5, 0.5, 0.5))
+        ) if lum is None else mat_cache.setdefault(
+            "__black__", builder.materials.lambertian((0.0, 0.0, 0.0))
+        )
+    if lum is not None:
+        if lum["type"] not in ("area", ""):
+            raise ValueError("only area luminaires can be attached to shapes")
+        radiance = _spec(lum["props"], "intensity", 1.0)
+        builder.add_area_emitter_shape(mesh, mid, radiance)
+    else:
+        builder.add_shape(mesh, mid)
+
+
+def add_scene_luminaire(builder, lum_node):
+    t = lum_node["type"]
+    p = lum_node["props"]
+    intensity = _spec(p, "intensity", 1.0)
+    to_world = p.get("toWorld")
+    if t == "point":
+        pos = p.get("position", (0.0, 0.0, 0.0))
+        if to_world is not None:
+            pos = tuple(np.asarray(tf.apply_point(to_world, np.asarray(pos))))
+        builder.emitters.point(pos, intensity)
+    elif t == "spot":
+        # reference spot.cpp: aims along +z of toWorld
+        origin = (0.0, 0.0, 0.0)
+        direction = (0.0, 0.0, 1.0)
+        if to_world is not None:
+            origin = tuple(np.asarray(tf.apply_point(to_world, np.zeros(3))))
+            direction = tuple(np.asarray(tf.apply_vector(to_world, np.asarray([0.0, 0, 1]))))
+        builder.emitters.spot(
+            origin, direction, intensity,
+            cutoff_deg=float(p.get("cutoffAngle", 20.0)),
+            falloff_deg=float(p.get("beamWidth", float(p.get("cutoffAngle", 20.0)) * 0.75)),
+        )
+    elif t == "directional":
+        d = p.get("direction", (0.0, 0.0, 1.0))
+        if to_world is not None and "direction" not in p:
+            d = tuple(np.asarray(tf.apply_vector(to_world, np.asarray([0.0, 0, 1]))))
+        builder.emitters.directional(d, intensity)
+    elif t == "constant":
+        builder.emitters.constant(intensity)
+    else:
+        raise ValueError(f"unsupported scene-level luminaire '{t}'")
