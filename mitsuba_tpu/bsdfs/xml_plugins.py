@@ -19,17 +19,26 @@ def _spec(props, name, default):
     return tuple(v)
 
 
-def build_material(mb, bsdf_node, two_sided: bool = False, opacity=None):
-    """mb: MaterialBuilder; bsdf_node: parsed dict from io/xml.py.
-    Returns material row id."""
+def build_material(mb, bsdf_node, two_sided: bool = False, opacity=None,
+                   tb=None, base_dir="."):
+    """mb: MaterialBuilder; bsdf_node: parsed dict from io/xml.py;
+    tb: TextureBuilder for nested <texture> children. Returns material id."""
     t = bsdf_node["type"]
     p = bsdf_node["props"]
+    tex_id = -1
+    if tb is not None:
+        for c in bsdf_node["children"]:
+            if c["category"] == "texture" and (c.get("name") in (
+                    "reflectance", "diffuseReflectance", None)):
+                tex_id = build_texture(tb, c, base_dir)
 
     def finish(mid):
         if two_sided:
             mb.rows[mid]["two_sided"] = True
         if opacity is not None:
             mb.rows[mid]["opacity"] = float(opacity[0]) if isinstance(opacity, tuple) else float(opacity)
+        if tex_id >= 0:
+            mb.rows[mid]["tex_id"] = tex_id
         return mid
 
     if t in ("lambertian", "diffuse"):
@@ -100,11 +109,13 @@ def build_material(mb, bsdf_node, two_sided: bool = False, opacity=None):
         return finish(mb.diff_trans(_spec(p, "transmittance", 0.5)))
     if t == "twosided":
         inner = _first_bsdf_child(bsdf_node)
-        return build_material(mb, inner, two_sided=True, opacity=opacity)
+        return build_material(mb, inner, two_sided=True, opacity=opacity,
+                              tb=tb, base_dir=base_dir)
     if t == "mask":
         inner = _first_bsdf_child(bsdf_node)
         return build_material(
-            mb, inner, two_sided=two_sided, opacity=p.get("opacity", (1.0, 1.0, 1.0))
+            mb, inner, two_sided=two_sided,
+            opacity=p.get("opacity", (1.0, 1.0, 1.0)), tb=tb, base_dir=base_dir,
         )
     raise ValueError(f"unsupported bsdf type '{t}'")
 
@@ -114,3 +125,35 @@ def _first_bsdf_child(node):
         if c["category"] == "bsdf":
             return c
     raise ValueError(f"<bsdf type='{node['type']}'> needs a nested bsdf")
+
+
+def build_texture(tb, tex_node, base_dir="."):
+    """Map a parsed <texture> node to a TextureBuilder row (reference
+    src/textures/ property names)."""
+    import os
+
+    t = tex_node["type"]
+    p = tex_node["props"]
+    uv_scale = (float(p.get("uscale", 1.0)), float(p.get("vscale", 1.0)))
+    uv_offset = (float(p.get("uoffset", 0.0)), float(p.get("voffset", 0.0)))
+    if t == "checkerboard":
+        return tb.checkerboard(
+            bright=_spec(p, "brightColor", 0.4), dark=_spec(p, "darkColor", 0.2),
+            uv_scale=uv_scale, uv_offset=uv_offset,
+        )
+    if t == "gridtexture":
+        return tb.grid(
+            bright=_spec(p, "brightColor", 0.4), dark=_spec(p, "darkColor", 0.2),
+            line_width=float(p.get("lineWidth", 0.01)),
+            uv_scale=uv_scale, uv_offset=uv_offset,
+        )
+    if t in ("ldrtexture", "exrtexture", "bitmap"):
+        from mitsuba_tpu.io.bitmap import read_image
+
+        img = read_image(os.path.join(base_dir, p["filename"]))
+        gamma = float(p.get("gamma", -1.0)) if t == "ldrtexture" else 1.0
+        return tb.bitmap(img, gamma=gamma, wrap=p.get("wrapMode", "repeat"),
+                         uv_scale=uv_scale, uv_offset=uv_offset)
+    if t == "vertexcolors":
+        return tb.vertex_colors()
+    raise ValueError(f"unsupported texture type '{t}'")

@@ -49,6 +49,7 @@ class PathConfig:
     pattern: str = "independent"
     remat: bool = True          # checkpoint each bounce for reverse-mode AD
     strict_normals: bool = False
+    rfilter: str = "box"        # reconstruction filter (render/rfilter.py)
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -63,18 +64,41 @@ def _detach(x):
 
 
 def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
-    """Trace radiance along the given camera rays. Returns (L, aux dict)."""
-    n = ray.o.shape[0]
-    L = jnp.zeros((n, 3))
-    throughput = jnp.ones((n, 3))
-    active = jnp.ones(n, bool)
-    prev_pdf = jnp.zeros(n)        # BSDF pdf of the ray that produced this hit
-    prev_delta = jnp.ones(n, bool)  # camera ray counts as delta (full Le)
-    depth_count = jnp.zeros(n, jnp.int32)
-    rays_traced = jnp.zeros((), jnp.float32)   # closest-hit + shadow rays
+    """Trace radiance along the given camera rays. Returns (L, aux dict).
 
-    def bounce(carry, depth, u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr):
-        L, throughput, ray, active, prev_pdf, prev_delta, depth_count, rays_traced = carry
+    The bounce loop is a `lax.scan` over depth: ONE traced/compiled bounce
+    body regardless of max_depth.  (A Python-unrolled loop multiplies the
+    XLA graph by max_depth — compile time matters on TPU.)  Per-depth
+    control flow (last-bounce cutoff, RR activation) is turned into scanned
+    boolean inputs.
+    """
+    n = ray.o.shape[0]
+    d_max = cfg.max_depth
+
+    # pre-drawn per-depth random fields (scanned xs)
+    u_nee_sel = sampler.next_stacked_1d(d_max)       # (D, N)
+    u_nee_pos = sampler.next_stacked_2d(d_max)       # (D, N, 2)
+    u_bsdf_2d = sampler.next_stacked_2d(d_max)
+    u_lobe = sampler.next_stacked_1d(d_max)
+    u_rr = sampler.next_stacked_1d(d_max)
+    is_last = (jnp.arange(d_max) + 1) >= d_max       # (D,)
+    do_rr = jnp.arange(d_max) >= cfg.rr_depth        # (D,)
+
+    init = (
+        jnp.zeros((n, 3)),            # L
+        jnp.ones((n, 3)),             # throughput
+        ray,
+        jnp.ones(n, bool),            # active
+        jnp.zeros(n),                 # prev_pdf (BSDF pdf that made this ray)
+        jnp.ones(n, bool),            # prev_delta (camera ray: full Le)
+        jnp.zeros(n, jnp.int32),      # depth_count
+        jnp.zeros((), jnp.float32),   # rays_traced
+    )
+
+    def bounce(carry, xs):
+        (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
+         rays_traced) = carry
+        (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr) = xs
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
         its = ray_intersect(scene.geom, ray)
 
@@ -96,18 +120,28 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         w_bsdf = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, lum_pdf))
         L = L + jnp.where(active[:, None], throughput * le * w_bsdf[:, None], 0.0)
 
-        if depth + 1 >= cfg.max_depth:
-            return (L, throughput, ray, active, prev_pdf, prev_delta,
-                    depth_count, rays_traced)
+        # beyond here only matters when this is not the final depth
+        cont = active & ~is_last
+
+        # --- texture-resolved albedo (reference: its.getBSDF evaluates
+        # textures at the hit's uv) ------------------------------------
+        mclip = jnp.clip(its.material_id, 0, scene.materials.n_materials - 1)
+        tex_id = scene.materials.tex_id[mclip]
+        albedo = scene.materials.reflectance[mclip]
+        if scene.textures.n_textures > 0:
+            from mitsuba_tpu.render.texture import eval_texture
+            tex_val = eval_texture(scene.textures, tex_id, its.uv)
+            albedo = jnp.where((tex_id >= 0)[:, None], tex_val, albedo)
 
         # --- next-event estimation (luminaire sampling) -----------------
         ds = sample_direct(
             scene.emitters, scene.geom, its.p, _detach(u_nee_sel), _detach(u_nee_pos)
         )
         wo_local = its.to_local(ds.d)
-        fcos = bsdf_eval(scene.materials, its.material_id, its.wi, wo_local)
+        fcos = bsdf_eval(scene.materials, its.material_id, its.wi, wo_local,
+                         albedo=albedo)
         b_pdf = bsdf_pdf(scene.materials, its.material_id, its.wi, wo_local)
-        nee_ok = active & ds.valid & (ds.pdf > 0)
+        nee_ok = cont & ds.valid & (ds.pdf > 0)
         # shadow ray (reference Scene::isOccluded); epsilon scales with the
         # local coordinate magnitude to stay above float32 ulp at scene scale
         eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(its.p).max(-1))
@@ -122,20 +156,19 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         # --- BSDF sampling ----------------------------------------------
         bs = bsdf_sample(
             scene.materials, its.material_id, its.wi,
-            _detach(u_bsdf_2d), _detach(u_lobe),
+            _detach(u_bsdf_2d), _detach(u_lobe), albedo=albedo,
         )
         wo_world = its.to_world(bs["wo"])
-        active = active & bs["valid"]
+        active = cont & bs["valid"]
 
         # --- Russian roulette (reference path.cpp:196) ------------------
-        if depth >= cfg.rr_depth:
-            albedo = jnp.minimum(0.9, jnp.max(_detach(bs["weight"]), axis=-1))
-            kill = (u_rr > albedo) & ~bs["transmission"]
-            rr_scale = jnp.where(
-                bs["transmission"], 1.0, 1.0 / jnp.maximum(albedo, 1e-3)
-            )
-            active = active & ~kill
-            throughput = throughput * jnp.where(active, rr_scale, 1.0)[:, None]
+        albedo = jnp.minimum(0.9, jnp.max(_detach(bs["weight"]), axis=-1))
+        kill = do_rr & (u_rr > albedo) & ~bs["transmission"]
+        rr_scale = jnp.where(
+            do_rr & ~bs["transmission"], 1.0 / jnp.maximum(albedo, 1e-3), 1.0
+        )
+        active = active & ~kill
+        throughput = throughput * jnp.where(active, rr_scale, 1.0)[:, None]
 
         throughput = throughput * jnp.where(active[:, None], bs["weight"], 1.0)
         new_ray = Ray.make(its.p, wo_world, mint=eps)
@@ -145,22 +178,15 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
             o=jnp.where(active[:, None], new_ray.o, ray.o),
             d=jnp.where(active[:, None], new_ray.d, ray.d),
         )
-        return (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"],
-                depth_count, rays_traced)
+        carry = (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"],
+                 depth_count, rays_traced)
+        return carry, None
 
-    carry = (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
-             rays_traced)
-    for depth in range(cfg.max_depth):
-        us = (
-            sampler.next_1d(), sampler.next_2d(), sampler.next_2d(),
-            sampler.next_1d(), sampler.next_1d(),
-        )
-        step = (
-            jax.checkpoint(lambda c, u, d=depth: bounce(c, d, *u))
-            if cfg.remat
-            else (lambda c, u, d=depth: bounce(c, d, *u))
-        )
-        carry = step(carry, us)
+    body = jax.checkpoint(bounce) if cfg.remat else bounce
+    carry, _ = jax.lax.scan(
+        body, init,
+        (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr),
+    )
     L, throughput, ray, active, prev_pdf, prev_delta, depth_count, rays_traced = carry
     return L, {
         "avg_path_length": jnp.mean(depth_count.astype(jnp.float32)),
@@ -169,10 +195,11 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
 
 
 def render(scene, cfg: PathConfig, seed: int = 0):
-    """Render the scene to an (H, W, 3) image. Box filter (mean over spp).
+    """Render the scene to an (H, W, 3) image with the configured
+    reconstruction filter. Wavefront layout: lane = pixel * spp + sample."""
+    from mitsuba_tpu.render.film import develop
+    from mitsuba_tpu.render.rfilter import make_rfilter
 
-    Wavefront layout: lane index = pixel * spp + sample.
-    """
     w, h, spp = scene.width, scene.height, cfg.spp
     n = w * h * spp
     lane = jnp.arange(n)
@@ -187,5 +214,5 @@ def render(scene, cfg: PathConfig, seed: int = 0):
     uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], axis=-1)
     ray = scene.camera.sample_ray(uv)
     L, aux = path_trace(scene, ray, sampler, cfg)
-    img = L.reshape(h, w, spp, 3).mean(axis=2)
+    img = develop(L, offset, spp, h, w, make_rfilter(cfg.rfilter))
     return img, aux

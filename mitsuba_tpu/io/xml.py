@@ -182,6 +182,7 @@ def parse_node(node, params, named, base_dir):
         "category": node.tag,
         "type": node.get("type", "").lower(),
         "id": node.get("id"),
+        "name": node.get("name"),
         "props": props,
         "children": children,
     }
@@ -236,7 +237,8 @@ def _material_from_bsdf(builder: SceneBuilder, bsdf, cache):
     if key in cache:
         return cache[key]
     from mitsuba_tpu.bsdfs import xml_plugins
-    mid = xml_plugins.build_material(builder.materials, bsdf)
+    mid = xml_plugins.build_material(builder.materials, bsdf,
+                                     tb=builder.textures, base_dir=cache.get("__base_dir__", "."))
     cache[key] = mid
     return mid
 
@@ -245,7 +247,7 @@ def build_scene(parsed, base_dir: str, backend: str = "auto"):
     from mitsuba_tpu.io import xml_shapes
 
     builder = SceneBuilder()
-    mat_cache: dict = {}
+    mat_cache: dict = {"__base_dir__": base_dir}
     config = {
         "integrator": "path", "maxDepth": 5, "rrDepth": 10,
         "sampleCount": 4, "pattern": "independent",

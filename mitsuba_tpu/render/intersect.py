@@ -296,11 +296,21 @@ def _any_bvh(geom: GeometryTables, ray: Ray):
 # Public API
 # ---------------------------------------------------------------------------
 
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
     """Closest-hit query → full Intersection record (reference
     skdtree.h:352 fillIntersectionRecord equivalent)."""
     if geom.backend == "bvh":
         t, u, v, prim, valid = _closest_bvh(geom, ray)
+    elif _use_pallas():
+        from mitsuba_tpu.ops import intersect_pallas as ip
+
+        table = ip.make_tri_table(geom.v0, geom.e1, geom.e2)
+        t, u, v, prim, valid = ip.closest_hit(table, ray.o, ray.d, ray.mint, ray.maxt)
+        prim = jnp.where(valid, prim, 0)
     else:
         t, u, v, prim, valid = _closest_brute(geom, ray)
     prim = jnp.where(valid, prim, 0)
@@ -336,4 +346,9 @@ def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
     scene.h:241 isOccluded equivalent)."""
     if geom.backend == "bvh":
         return _any_bvh(geom, ray)
+    if _use_pallas():
+        from mitsuba_tpu.ops import intersect_pallas as ip
+
+        table = ip.make_tri_table(geom.v0, geom.e1, geom.e2)
+        return ip.any_hit(table, ray.o, ray.d, ray.mint, ray.maxt)
     return _any_brute(geom, ray)

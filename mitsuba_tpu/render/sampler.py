@@ -44,6 +44,24 @@ class Sampler:
     def next_2d(self):
         return jax.vmap(lambda k: jax.random.uniform(k, (2,)))(self._next_key())
 
+    def next_stacked_1d(self, d: int):
+        """(d, N) uniforms consuming d dimensions — one fused draw, so scan
+        bodies stay small (op-count matters: see integrators/path.py)."""
+        dims = jnp.arange(self._dim + 1, self._dim + 1 + d)
+        self._dim += d
+        keys = jax.vmap(
+            lambda dim: jax.vmap(jax.random.fold_in, (0, None))(self._keys, dim)
+        )(dims)
+        return jax.vmap(jax.vmap(lambda k: jax.random.uniform(k, ())))(keys)
+
+    def next_stacked_2d(self, d: int):
+        dims = jnp.arange(self._dim + 1, self._dim + 1 + d)
+        self._dim += d
+        keys = jax.vmap(
+            lambda dim: jax.vmap(jax.random.fold_in, (0, None))(self._keys, dim)
+        )(dims)
+        return jax.vmap(jax.vmap(lambda k: jax.random.uniform(k, (2,))))(keys)
+
 
 # ---------------------------------------------------------------------------
 # Pixel-sample position patterns (the reference's sampler plugins)

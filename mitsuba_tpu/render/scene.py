@@ -7,6 +7,9 @@ differentiable (grad flows into material/emitter/camera arrays).
 """
 from __future__ import annotations
 
+import contextlib
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -17,6 +20,7 @@ from mitsuba_tpu.emitters import EmitterBuilder, EmitterTable
 from mitsuba_tpu.render.camera import Camera, make_perspective
 from mitsuba_tpu.render import mesh as mesh_mod
 from mitsuba_tpu.render.intersect import GeometryTables, build_geometry
+from mitsuba_tpu.render.texture import TextureBuilder, TextureTable
 
 
 @pytree_dataclass
@@ -25,8 +29,18 @@ class Scene:
     materials: MaterialTable
     emitters: EmitterTable
     camera: Camera
+    textures: TextureTable
     width: int = static_field(default=256)
     height: int = static_field(default=256)
+
+
+def _host_build_context():
+    """default_device(cpu) when a CPU backend exists alongside the default."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
 
 
 class SceneBuilder:
@@ -35,6 +49,7 @@ class SceneBuilder:
     def __init__(self):
         self.materials = MaterialBuilder()
         self.emitters = EmitterBuilder()
+        self.textures = TextureBuilder()
         self._shapes = []     # (mesh, material_id, emitter_id)
         self.camera = None
         self.width = 256
@@ -53,6 +68,19 @@ class SceneBuilder:
         self.width, self.height = width, height
 
     def build(self, backend: str = "auto") -> Scene:
+        """Assemble the scene.
+
+        Built on the host CPU backend: over a tunneled TPU every tiny
+        jnp op/transfer is a network round trip (~0.7s each); building
+        locally and shipping the finished pytree in one device_put turns
+        minutes into milliseconds."""
+        with _host_build_context():
+            scene = self._build_impl(backend)
+        if jax.default_backend() != "cpu":
+            scene = jax.device_put(scene, jax.devices()[0])
+        return scene
+
+    def _build_impl(self, backend: str) -> Scene:
         if not self._shapes:
             raise ValueError("scene has no shapes")
         geom = build_geometry(self._shapes, backend=backend)
@@ -69,6 +97,7 @@ class SceneBuilder:
             cam = make_perspective(tf.identity(), 45.0, self.width / self.height)
         return Scene(
             geom=geom, materials=mats, emitters=em, camera=cam,
+            textures=self.textures.build(),
             width=self.width, height=self.height,
         )
 

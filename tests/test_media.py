@@ -1,0 +1,168 @@
+"""Volumetrics: phase-function χ², Beer–Lambert attenuation, the volumetric
+furnace (energy conservation), and Woodcock-vs-closed-form agreement."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_tpu.core import math as m
+from mitsuba_tpu.core.chi2 import chi2_test
+from mitsuba_tpu.integrators import PathConfig
+from mitsuba_tpu.integrators.volpath import render_volpath, volpath_trace
+from mitsuba_tpu.media import (
+    HG,
+    ISOTROPIC,
+    MICROFLAKE,
+    make_heterogeneous,
+    make_homogeneous,
+    medium_transmittance,
+    no_medium,
+    phase_eval,
+    phase_sample,
+    sample_distance,
+)
+from mitsuba_tpu.render.records import Ray
+from mitsuba_tpu.render.sampler import Sampler
+from tests.test_render_e2e import furnace_scene
+
+
+@pytest.mark.parametrize("kind,g", [(ISOTROPIC, 0.0), (HG, 0.6), (HG, -0.4),
+                                    (MICROFLAKE, 0.0)])
+def test_phase_chi2(kind, g):
+    wi_dir = m.normalize(jnp.asarray([0.3, -0.2, 0.95]))
+
+    def sample_fn(key, n):
+        u2 = jax.random.uniform(key, (n, 2))
+        wo, _ = phase_sample(kind, g, jnp.broadcast_to(wi_dir, (n, 3)), u2)
+        return wo
+
+    def pdf_fn(d):
+        sh = d.shape[:-1]
+        dd = d.reshape(-1, 3)
+        return phase_eval(kind, g, jnp.broadcast_to(wi_dir, dd.shape), dd).reshape(sh)
+
+    res = chi2_test(jax.random.key(kind * 3 + 1), sample_fn, pdf_fn,
+                    n_samples=300_000)
+    assert res.passed, f"kind={kind} g={g}: chi2={res.chi2:.1f} p={res.p_value:.2e}"
+
+
+def test_phase_normalization():
+    from mitsuba_tpu.core.quad import sphere_bin_integrate
+
+    wi_dir = m.normalize(jnp.asarray([0.1, 0.7, 0.7]))
+    for kind, g in [(ISOTROPIC, 0.0), (HG, 0.8), (HG, -0.7), (MICROFLAKE, 0.0)]:
+        total = float(
+            sphere_bin_integrate(
+                lambda d: phase_eval(kind, g, jnp.broadcast_to(wi_dir, d.shape), d),
+                24, 24, sub=8,
+            ).sum()
+        )
+        assert abs(total - 1.0) < 5e-3, (kind, g, total)
+
+
+def test_homogeneous_transmittance_beer_lambert():
+    med = make_homogeneous(sigma_s=(0.0,) * 3, sigma_a=(0.5, 1.0, 2.0))
+    o = jnp.zeros((4, 3))
+    d = jnp.broadcast_to(jnp.array([0.0, 0, 1.0]), (4, 3))
+    dist = jnp.asarray([0.5, 1.0, 2.0, 4.0])
+    tr = np.asarray(medium_transmittance(med, o, d, dist))
+    expect = np.exp(-np.outer(np.asarray(dist), [0.5, 1.0, 2.0]))
+    np.testing.assert_allclose(tr, expect, rtol=1e-5)
+
+
+def test_homogeneous_distance_sampling_unbiased():
+    """E[weight·1{medium}]·f + E[surface_weight·1{surface}] must reproduce
+    analytic transmittance integrals: with f=1 the estimator of
+    ∫ sigma_s e^{-sigma_t t} dt + e^{-sigma_t D} is exact in expectation."""
+    sig_s, sig_a = 0.6, 0.4
+    med = make_homogeneous((sig_s,) * 3, (sig_a,) * 3)
+    n = 200_000
+    k = jax.random.key(0)
+    o = jnp.zeros((n, 3))
+    d = jnp.broadcast_to(jnp.array([0.0, 0, 1.0]), (n, 3))
+    dmax = jnp.full((n,), 2.0)
+    u1 = jax.random.uniform(jax.random.key(1), (n,))
+    u2 = jax.random.uniform(jax.random.key(2), (n,))
+    md = sample_distance(med, o, d, dmax, u1, u2)
+    est = (
+        jnp.where(md["valid"], md["weight"][:, 0], 0.0)
+        + jnp.where(~md["valid"], md["surface_weight"][:, 0], 0.0)
+    )
+    sig_t = sig_s + sig_a
+    analytic = (sig_s / sig_t) * (1 - np.exp(-sig_t * 2.0)) + np.exp(-sig_t * 2.0)
+    assert abs(float(est.mean()) - analytic) < 5e-3
+
+
+def test_volumetric_furnace():
+    """Emitting enclosure + purely scattering medium: L == Le everywhere
+    (energy conservation through multiple scattering).  No floor quad — a
+    one-sided surface's black backface would absorb scattered rays."""
+    scene = furnace_scene(albedo=1.0, radiance=1.0, include_floor=False)
+    med = make_homogeneous(sigma_s=(0.15,) * 3, sigma_a=(0.0,) * 3, g=0.0)
+    n = 2048
+    o = jnp.zeros((n, 3))
+    dirs = m.normalize(jax.random.normal(jax.random.key(5), (n, 3)))
+    ray = Ray.make(o, dirs)
+    sampler = Sampler(11, jnp.arange(n), jnp.zeros(n, jnp.int32))
+    cfg = PathConfig(max_depth=64, rr_depth=1000, spp=1, remat=False)
+    L, _ = volpath_trace(scene, med, ray, sampler, cfg, seed=3)
+    mean = float(L[:, 0].mean())
+    assert abs(mean - 1.0) < 0.03, mean
+
+
+def test_absorbing_medium_attenuates_emitter():
+    """Camera at sphere center: L = Le * exp(-sigma_a * r)."""
+    scene = furnace_scene(albedo=0.0, radiance=2.0)
+    sig_a = 0.1
+    med = make_homogeneous((0.0,) * 3, (sig_a,) * 3)
+    n = 512
+    dirs = m.normalize(jax.random.normal(jax.random.key(6), (n, 3)))
+    # offset origin above the floor quad to avoid hitting it
+    o = jnp.broadcast_to(jnp.array([0.0, 5.0, 0.0]), (n, 3))
+    ray = Ray.make(o, dirs)
+    sampler = Sampler(12, jnp.arange(n), jnp.zeros(n, jnp.int32))
+    cfg = PathConfig(max_depth=2, rr_depth=100, spp=1, remat=False)
+    L, _ = volpath_trace(scene, med, ray, sampler, cfg, seed=4)
+    # distance from (0,5,0) to sphere radius 10 varies by direction; compare
+    # against per-ray analytic attenuation is complex — use mean over
+    # directions with MC on the same rays:
+    from mitsuba_tpu.render.intersect import ray_intersect
+
+    its = ray_intersect(scene.geom, ray)
+    mask = np.asarray(its.emitter_id) >= 0
+    expect = 2.0 * np.exp(-sig_a * np.asarray(its.t))
+    got = np.asarray(L[:, 0])
+    # analog distance sampling makes the per-ray estimator binary {0, Le};
+    # only the mean is comparable
+    np.testing.assert_allclose(got[mask].mean(), expect[mask].mean(), rtol=0.05)
+
+
+def test_woodcock_matches_homogeneous():
+    """Constant-density heterogeneous medium must agree with the closed-form
+    homogeneous sampler in expectation."""
+    sig_s, sig_a = 0.5, 0.5
+    hom = make_homogeneous((sig_s,) * 3, (sig_a,) * 3)
+    # grid covering [-20,20]^3 with density 1
+    import numpy as _np
+    from mitsuba_tpu.core import transform as tf
+
+    w2g = tf.compose(tf.scale([4 / 40, 4 / 40, 4 / 40]), tf.translate([20, 20, 20]))
+    het = make_heterogeneous(
+        _np.ones((5, 5, 5), _np.float32), w2g, (sig_s,) * 3, (sig_a,) * 3
+    )
+    n = 100_000
+    o = jnp.zeros((n, 3))
+    d = jnp.broadcast_to(jnp.array([0.0, 0, 1.0]), (n, 3))
+    dmax = jnp.full((n,), 3.0)
+    u1 = jax.random.uniform(jax.random.key(7), (n,))
+    u2 = jax.random.uniform(jax.random.key(8), (n,))
+    md_h = sample_distance(hom, o, d, dmax, u1, u2)
+    md_w = sample_distance(het, o, d, dmax, u1, u2, key=jax.random.key(9))
+    # interaction probability matches
+    p_h = float(md_h["valid"].mean())
+    p_w = float(md_w["valid"].mean())
+    assert abs(p_h - p_w) < 0.01, (p_h, p_w)
+    # mean interaction distance matches
+    t_h = float(jnp.where(md_h["valid"], md_h["t"], 0).sum() / md_h["valid"].sum())
+    t_w = float(jnp.where(md_w["valid"], md_w["t"], 0).sum() / md_w["valid"].sum())
+    assert abs(t_h - t_w) < 0.02, (t_h, t_w)

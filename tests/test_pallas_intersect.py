@@ -1,0 +1,54 @@
+"""Pallas brute-force intersector vs the XLA oracle (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_tpu.ops import intersect_pallas as ip
+from mitsuba_tpu.render.intersect import _any_brute, _closest_brute, build_geometry
+from mitsuba_tpu.render.records import Ray
+from tests.test_intersect import random_mesh, random_rays
+
+
+def test_pallas_closest_matches_oracle():
+    msh = random_mesh(0, 60)
+    geom = build_geometry([(msh, 0, -1)], backend="brute")
+    ray = random_rays(1, 700)
+    t0, u0, v0, p0, h0 = _closest_brute(geom, ray)
+    table = ip.make_tri_table(geom.v0, geom.e1, geom.e2)
+    t1, u1, v1, p1, h1 = ip.closest_hit(
+        table, ray.o, ray.d, ray.mint, ray.maxt, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    hit = np.asarray(h0)
+    np.testing.assert_allclose(np.asarray(t0)[hit], np.asarray(t1)[hit], rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(p0)[hit], np.asarray(p1)[hit])
+    np.testing.assert_allclose(np.asarray(u0)[hit], np.asarray(u1)[hit], atol=2e-5)
+
+
+def test_pallas_any_matches_oracle():
+    msh = random_mesh(2, 40)
+    geom = build_geometry([(msh, 0, -1)], backend="brute")
+    ray = random_rays(3, 900)
+    a0 = _any_brute(geom, ray)
+    table = ip.make_tri_table(geom.v0, geom.e1, geom.e2)
+    a1 = ip.any_hit(table, ray.o, ray.d, ray.mint, ray.maxt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_pallas_respects_mint_maxt():
+    from mitsuba_tpu.core.types import replace
+    from mitsuba_tpu.render import mesh as mesh_mod
+
+    box = mesh_mod.make_box([-1, -1, -1], [1, 1, 1])
+    geom = build_geometry([(box, 0, -1)], backend="brute")
+    table = ip.make_tri_table(geom.v0, geom.e1, geom.e2)
+    o = jnp.zeros((1, 3))
+    d = jnp.asarray([[1.0, 0, 0]])
+    _, _, _, _, hit = ip.closest_hit(
+        table, o, d, jnp.asarray([1.5]), jnp.asarray([jnp.inf]), interpret=True
+    )
+    assert not bool(hit[0])
+    _, _, _, _, hit = ip.closest_hit(
+        table, o, d, jnp.asarray([1e-4]), jnp.asarray([0.5]), interpret=True
+    )
+    assert not bool(hit[0])

@@ -18,7 +18,7 @@ from mitsuba_tpu.render.sampler import Sampler
 from mitsuba_tpu.render.scene import SceneBuilder, cornell_box
 
 
-def furnace_scene(albedo=0.8, radiance=1.0, backend="brute"):
+def furnace_scene(albedo=0.8, radiance=1.0, backend="brute", include_floor=True):
     """Closed emitting sphere with a lambertian floor in the middle.
 
     With constant env-like emission from a surrounding sphere of radiance Le,
@@ -32,9 +32,10 @@ def furnace_scene(albedo=0.8, radiance=1.0, backend="brute"):
     sph.faces = sph.faces[:, ::-1].copy()
     sph.normals = -sph.normals
     b.add_area_emitter_shape(sph, light_mat, (radiance,) * 3)
-    # winding: CCW seen from +y so the normal faces up toward the camera
-    quad = mesh_mod.make_quad([-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1])
-    b.add_shape(quad, mat)
+    if include_floor:
+        # winding: CCW seen from +y so the normal faces up toward the camera
+        quad = mesh_mod.make_quad([-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1])
+        b.add_shape(quad, mat)
     cam = make_perspective(
         tf.look_at([0, 3, 0.01], [0, 0, 0], [0, 1, 0]), 40.0, 1.0
     )
