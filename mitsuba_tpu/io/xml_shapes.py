@@ -151,5 +151,22 @@ def add_scene_luminaire(builder, lum_node):
         builder.emitters.directional(d, intensity)
     elif t == "constant":
         builder.emitters.constant(intensity)
+    elif t == "envmap":
+        import os as _os
+        from mitsuba_tpu.io.bitmap import read_image
+
+        img = read_image(_os.path.join(p.get("__base_dir__", "."), p["filename"])) \
+            if not _os.path.isabs(p["filename"]) else read_image(p["filename"])
+        builder.emitters.envmap(
+            img, to_world=p.get("toWorld"),
+            scale=float(p.get("intensityScale", 1.0)),
+        )
+    elif t == "sky":
+        sun = p.get("sunDirection", (0.0, 1.0, 0.0))
+        builder.emitters.sky(
+            turbidity=float(p.get("turbidity", 3.0)), sun_dir=sun,
+            scale=float(p.get("intensityScale", 1.0)),
+            extend_below=bool(p.get("extend", True)),
+        )
     else:
         raise ValueError(f"unsupported scene-level luminaire '{t}'")

@@ -94,12 +94,13 @@ def _any_kernel(n_tris, tri_ref, ox, oy, oz, dx, dy, dz, mint, maxt, hit_out):
             det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t > mn) & (t < mx)
         )
-        return occluded | hit
+        # int32 carry: Mosaic cannot legalize a loop-carried bool vector
+        return occluded | hit.astype(jnp.int32)
 
     occluded = jax.lax.fori_loop(
-        0, n_tris, body, jnp.zeros(o_x.shape, bool)
+        0, n_tris, body, jnp.zeros(o_x.shape, jnp.int32)
     )
-    hit_out[...] = occluded.astype(jnp.int32)
+    hit_out[...] = occluded
 
 
 def _pack_rays(o, d, mint, maxt):
