@@ -32,7 +32,7 @@ def main():
     w = h = 256
     spp = 16
     depth = 5
-    rounds = 4
+    rounds = 2
     cfg = PathConfig(max_depth=depth, spp=spp, remat=False)
     scene = cornell_box(w, h, backend="brute")
 
@@ -55,14 +55,18 @@ def main():
 
     chain = jnp.zeros((), jnp.float32)
     img_sum, rays, chain = run(scene, pixel_id, sample_id, chain)
-    jax.block_until_ready(img_sum)
+    # host materialization is the only reliable sync on tunneled devices
+    # (block_until_ready can return before execution completes there)
+    _ = float(img_sum[0])
     rays_traced = float(rays)
 
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(rounds):
+        t0 = time.perf_counter()
         img_sum, rays, chain = run(scene, pixel_id, sample_id, chain)
-    jax.block_until_ready((img_sum, chain))
-    elapsed = (time.perf_counter() - t0) / rounds
+        _ = float(img_sum[0])
+        best = min(best, time.perf_counter() - t0)
+    elapsed = best
 
     mrays = rays_traced / elapsed / 1e6
     print(
