@@ -37,7 +37,23 @@ class BVH:
 
 
 def build_bvh(vertices: np.ndarray, faces: np.ndarray, max_leaf: int = MAX_LEAF) -> BVH:
-    """Binned-SAH BVH over a triangle soup. Returns flattened skip-link BVH."""
+    """Binned-SAH BVH over a triangle soup. Returns flattened skip-link BVH.
+
+    Uses the native C++ builder (mitsuba_tpu/native/bvh_builder.cpp) when
+    available — the Python recursion below is the reference implementation
+    and fallback."""
+    try:
+        from mitsuba_tpu.native import build_bvh_native
+
+        out = build_bvh_native(vertices, faces, max_leaf)
+        if out is not None:
+            bmin, bmax, first, count, skip, perm = out
+            return BVH(
+                bounds_min=bmin, bounds_max=bmax, first=first, count=count,
+                skip=skip, perm=perm,
+            )
+    except Exception:
+        pass
     v = np.asarray(vertices, np.float64)
     f = np.asarray(faces, np.int64)
     t = f.shape[0]
