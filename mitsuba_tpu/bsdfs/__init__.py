@@ -29,6 +29,8 @@ from mitsuba_tpu.bsdfs.table import (
     WARD,
     ROUGH_GLASS,
     DIFF_TRANS,
+    WISCOMBE,
+    HANRAHAN_KRUEGER,
     KIND_NAMES,
 )
 from mitsuba_tpu.bsdfs.dispatch import bsdf_eval, bsdf_pdf, bsdf_sample
@@ -47,5 +49,7 @@ __all__ = [
     "WARD",
     "ROUGH_GLASS",
     "DIFF_TRANS",
+    "WISCOMBE",
+    "HANRAHAN_KRUEGER",
     "KIND_NAMES",
 ]

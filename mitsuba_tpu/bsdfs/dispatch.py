@@ -17,12 +17,14 @@ from mitsuba_tpu.bsdfs import models as md
 from mitsuba_tpu.bsdfs.table import (
     DIELECTRIC,
     DIFF_TRANS,
+    HANRAHAN_KRUEGER,
     LAMBERTIAN,
     MIRROR,
     PHONG,
     ROUGH_CONDUCTOR,
     ROUGH_GLASS,
     WARD,
+    WISCOMBE,
     MaterialTable,
 )
 
@@ -39,6 +41,8 @@ _MODELS = {
     WARD: (md.ward_eval, md.ward_pdf, md.ward_sample),
     ROUGH_GLASS: (md.roughglass_eval, md.roughglass_pdf, md.roughglass_sample),
     DIFF_TRANS: (md.difftrans_eval, md.difftrans_pdf, md.difftrans_sample),
+    WISCOMBE: (md.wiscombe_eval, md.wiscombe_pdf, md.wiscombe_sample),
+    HANRAHAN_KRUEGER: (md.hk_eval, md.hk_pdf, md.hk_sample),
 }
 
 _NO_FLIP_KINDS = (DIELECTRIC, ROUGH_GLASS)  # genuinely two-sided already

@@ -456,3 +456,95 @@ def difftrans_sample(p, wi, u2, u1):
         valid=valid,
     )
     return s
+
+
+# ---------------------------------------------------------------------------
+# Wiscombe-Warren snow BRDF  (fork feature: src/bsdfs/wiscombe.cpp:294)
+# ---------------------------------------------------------------------------
+# Delta-Eddington constants are precomputed at build time (table.py
+# wiscombe()): reflectance <- A = wStar/(1+P), specular <- xi,
+# transmittance <- bStar. Reference evaluates
+# f = albedo(cos wo) * fBar * INV_PI^2 (wiscombe.cpp:112-133, incl. the
+# reference's double INV_PI) with cosine-hemisphere sampling.
+
+def wiscombe_eval(p, wi, wo):
+    upper = _both_upper(wi, wo)
+    mu0 = jnp.maximum(m.cos_theta(wo), 1e-6)
+    mu_p = jnp.maximum(m.cos_theta(wi), 1e-6)
+    a_const = p["reflectance"]       # wStar/(1+P)
+    xi = p["specular"]
+    b_star = p["transmittance"]
+    albedo = a_const * (1.0 - xi * mu0[..., None] * b_star) / (1.0 + xi * mu0[..., None])
+    b = 1.07 * mu0 - 0.84
+    fbar = (3.0 / (3.0 - b)) * (1.0 + b * (mu_p - 1.0))
+    f = albedo * (fbar * m.INV_PI * m.INV_PI)[..., None]
+    return _mask3(upper, f * jnp.maximum(m.cos_theta(wo), 0.0)[..., None])
+
+
+def wiscombe_pdf(p, wi, wo):
+    return lambertian_pdf(p, wi, wo)
+
+
+def wiscombe_sample(p, wi, u2, u1):
+    wo = warp.square_to_cosine_hemisphere(u2)
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+    valid = (m.cos_theta(wi) > 0) & (pdf > 0)
+    fcos = wiscombe_eval(p, wi, wo)
+    s = _zero_sample(wi)
+    s.update(
+        wo=wo,
+        weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-9)[..., None]),
+        pdf=jnp.where(valid, pdf, 0.0),
+        valid=valid,
+    )
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Hanrahan-Krueger thin-slab single scattering + diffuse term
+# (src/bsdfs/hanrahan-krueger.cpp:154-193)
+# ---------------------------------------------------------------------------
+# Precomputed at build time: reflectance <- singleScatteringAlbedo*ssFactor,
+# transmittance <- diffuseReflectance (delta-Eddington dipole approx),
+# eta <- etaInt/etaExt, alpha_u <- g.
+
+def hk_eval(p, wi, wo):
+    from mitsuba_tpu.core.fresnel import fresnel
+
+    upper = _both_upper(wi, wo)
+    ci = m.cos_theta(wi)
+    co = m.cos_theta(wo)
+    eta = p["eta"]
+    ft1 = 1.0 - fresnel(co, jnp.ones_like(eta), eta)
+    ft2 = 1.0 - fresnel(ci, jnp.ones_like(eta), eta)
+    fr_prod = ft1 * ft2
+    g = p["alpha_u"]
+    # reference hgPhaseFunction: cos = dot(-wi, wo), 0.5 normalization
+    cos_t = m.dot(-wi, wo)
+    g2 = g * g
+    phase = 0.5 * (1.0 - g2) / jnp.power(
+        jnp.maximum(1.0 + g2 - 2.0 * g * cos_t, 1e-8), 1.5
+    )
+    f1 = p["reflectance"] * (fr_prod * phase / jnp.maximum(jnp.abs(ci) + jnp.abs(co), 1e-6))[..., None]
+    lo = f1 + p["transmittance"] * (fr_prod * m.INV_PI)[..., None]
+    f = lo * m.INV_PI
+    return _mask3(upper, f * jnp.maximum(co, 0.0)[..., None])
+
+
+def hk_pdf(p, wi, wo):
+    return lambertian_pdf(p, wi, wo)
+
+
+def hk_sample(p, wi, u2, u1):
+    wo = warp.square_to_cosine_hemisphere(u2)
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+    valid = (m.cos_theta(wi) > 0) & (pdf > 0)
+    fcos = hk_eval(p, wi, wo)
+    s = _zero_sample(wi)
+    s.update(
+        wo=wo,
+        weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-9)[..., None]),
+        pdf=jnp.where(valid, pdf, 0.0),
+        valid=valid,
+    )
+    return s

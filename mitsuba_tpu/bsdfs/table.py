@@ -20,6 +20,8 @@ PHONG = 4           # src/bsdfs/phong.cpp (diffuse+specular phong)
 WARD = 5            # src/bsdfs/ward.cpp (anisotropic)
 ROUGH_GLASS = 6     # src/bsdfs/roughglass.cpp
 DIFF_TRANS = 7      # src/bsdfs/difftrans.cpp (diffuse transmitter)
+WISCOMBE = 8        # src/bsdfs/wiscombe.cpp (fork: snow BRDF)
+HANRAHAN_KRUEGER = 9  # src/bsdfs/hanrahan-krueger.cpp
 
 KIND_NAMES = {
     LAMBERTIAN: "lambertian",
@@ -30,6 +32,8 @@ KIND_NAMES = {
     WARD: "ward",
     ROUGH_GLASS: "roughglass",
     DIFF_TRANS: "difftrans",
+    WISCOMBE: "wiscombe",
+    HANRAHAN_KRUEGER: "hk",
 }
 
 
@@ -144,6 +148,56 @@ class MaterialBuilder:
 
     def diff_trans(self, transmittance=(0.5, 0.5, 0.5)):
         return self._add(kind=DIFF_TRANS, transmittance=transmittance)
+
+    def wiscombe(self, g=0.874, w0=(0.99, 0.99, 0.99),
+                 sigma_t=(16.4967, 6.0957, 4.6547), depth=1.0):
+        """Wiscombe-Warren snow BRDF (fork feature). Precomputes the
+        delta-Eddington constants (reference wiscombe.cpp configure())."""
+        g = float(g)
+        w0 = np.asarray(w0, np.float64)
+        g_sq = g * g
+        w_star = ((1 - g_sq) * w0) / (1 - g_sq * w0)
+        g_star = g / (1 + g)
+        b_star = g_star / (1 - w_star * g_star)
+        xi = np.sqrt(3.0 * (1 - w_star * g_star) * (1 - w_star))
+        p_const = (2 * xi) / ((1 - w_star * g_star) * 3)
+        a_const = w_star / (1 + p_const)
+        return self._add(
+            kind=WISCOMBE, reflectance=tuple(a_const), specular=tuple(xi),
+            transmittance=tuple(b_star), alpha_u=g,
+        )
+
+    def hanrahan_krueger(self, sigma_a=(0.032, 0.17, 0.48),
+                         sigma_s=(0.74, 0.88, 1.01), g=0.0,
+                         eta_int=1.32, eta_ext=1.0, ss_factor=(1.0,) * 3,
+                         dr_factor=(1.0,) * 3, use_diffuse=True):
+        """Hanrahan-Krueger thin-slab BRDF: single scattering + dipole-ish
+        diffuse term (reference hanrahan-krueger.cpp configure())."""
+        sa = np.asarray(sigma_a, np.float64)
+        ss = np.asarray(sigma_s, np.float64)
+        st = sa + ss
+        st = np.maximum(st, 1e-9)
+        ss_albedo = ss / st
+        ss_red = ss * (1 - g)
+        st_red = sa + ss_red
+        red_albedo = ss_red / np.maximum(st_red, 1e-9)
+        eta = eta_int / eta_ext
+        if eta == 1.0:
+            fdr, fdt = 0.0, 1.0
+        else:
+            fdr = -1.440 / eta ** 2 + 0.710 / eta + 0.668 + 0.0636 * eta
+            fdt = 1.0 - fdr
+        a_bc = (1 + fdr) / fdt
+        var1 = -np.sqrt(3.0 * (1 - red_albedo))
+        dr = (red_albedo / 2.0) * (1 + np.exp((4.0 / 3.0) * a_bc * var1)) * np.exp(var1)
+        dr = dr * np.asarray(dr_factor, np.float64)
+        if not use_diffuse:
+            dr = dr * 0.0
+        return self._add(
+            kind=HANRAHAN_KRUEGER,
+            reflectance=tuple(ss_albedo * np.asarray(ss_factor, np.float64)),
+            transmittance=tuple(dr), eta=eta, alpha_u=g,
+        )
 
     def build(self) -> MaterialTable:
         if not self.rows:

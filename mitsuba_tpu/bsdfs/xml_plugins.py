@@ -107,6 +107,32 @@ def build_material(mb, bsdf_node, two_sided: bool = False, opacity=None,
         )
     if t == "difftrans":
         return finish(mb.diff_trans(_spec(p, "transmittance", 0.5)))
+    if t in ("wiscombe", "dozier"):
+        return finish(
+            mb.wiscombe(
+                g=float(p.get("g", 0.874)),
+                # note: reference property name has the reference's typo
+                # "singleScatteringAlbodo" (wiscombe.cpp:53) — accept both
+                w0=_spec(p, "singleScatteringAlbedo",
+                         p.get("singleScatteringAlbodo", 0.99)),
+                sigma_t=_spec(p, "sigmaT", (16.4967, 6.0957, 4.6547)),
+                depth=float(p.get("depth", 1.0)),
+            )
+        )
+    if t in ("hk", "hanrahan-krueger"):
+        mult = float(p.get("densityMultiplier", p.get("sizeMultiplier", 1.0)))
+        sa = tuple(x * mult for x in _spec(p, "sigmaA", (0.032, 0.17, 0.48)))
+        ss = tuple(x * mult for x in _spec(p, "sigmaS", (0.74, 0.88, 1.01)))
+        return finish(
+            mb.hanrahan_krueger(
+                sigma_a=sa, sigma_s=ss, g=float(p.get("g", 0.0)),
+                eta_int=float(p.get("etaInt", 1.32)),
+                eta_ext=float(p.get("etaExt", 1.0)),
+                ss_factor=_spec(p, "ssFactor", 1.0),
+                dr_factor=_spec(p, "drFactor", 1.0),
+                use_diffuse=bool(p.get("diffuseReflectance", True)),
+            )
+        )
     if t == "twosided":
         inner = _first_bsdf_child(bsdf_node)
         return build_material(mb, inner, two_sided=True, opacity=opacity,

@@ -154,3 +154,22 @@ def test_sample_weight_consistency():
         expect = np.asarray(fcos) / np.maximum(np.asarray(s["pdf"]), 1e-12)[:, None]
         got = np.asarray(s["weight"])
         np.testing.assert_allclose(got[val], expect[val], rtol=2e-3, atol=1e-4)
+
+
+def test_wiscombe_chi2_and_energy():
+    t = make_table("wiscombe")
+    run_chi2(t, fixed_wi(30.0), seed=21)
+    # snow is bright but must not exceed unit albedo: integrate fCos
+    from mitsuba_tpu.core import warp
+    n = 200_000
+    wi = jnp.broadcast_to(fixed_wi(20.0), (n, 3))
+    wo = warp.square_to_uniform_hemisphere(jax.random.uniform(jax.random.key(22), (n, 2)))
+    mid = jnp.zeros(n, jnp.int32)
+    fcos = bsdf_eval(t, mid, wi, wo)
+    integral = float(jnp.mean(fcos[:, 0]) * 2 * jnp.pi)
+    assert 0.0 < integral < 1.0, integral
+
+
+def test_hk_chi2():
+    t = make_table("hanrahan_krueger", g=0.3)
+    run_chi2(t, fixed_wi(45.0), seed=23)
