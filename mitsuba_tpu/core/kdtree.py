@@ -132,10 +132,13 @@ class HashGrid:
             max_per_query=max_per_query,
         )
 
-    def gather_sum(self, queries, radius, weight_fn=None):
+    def gather_sum(self, queries, radius, weight_fn=None, contrib_fn=None):
         """Σ payload over points within radius of each query — the photon
         density estimate. queries (N,3) → (N, F).
 
+        weight_fn(dist) -> scalar kernel weight per candidate;
+        contrib_fn(payload_rows (N,F), d2 (N,)) -> (N, C) replaces the raw
+        payload per candidate (e.g. per-photon BSDF evaluation).
         Scans the 27-neighbourhood with a static per-cell budget; cells
         holding more than max_per_query/27 points truncate (log-noted by
         caller if needed).
@@ -145,7 +148,8 @@ class HashGrid:
         q_ijk = jnp.clip(
             ((queries - self.bmin) * self.inv_cell).astype(jnp.int32), 0, res - 1
         )
-        total = jnp.zeros((queries.shape[0], self.payload.shape[1]))
+        out_dim = self.payload.shape[1] if contrib_fn is None else None
+        total = None
         r2 = radius * radius
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
@@ -163,5 +167,9 @@ class HashGrid:
                         w = jnp.where(ok & (d2 <= r2), 1.0, 0.0)
                         if weight_fn is not None:
                             w = w * weight_fn(jnp.sqrt(jnp.maximum(d2, 0.0)))
-                        total = total + w[:, None] * self.payload[pi]
+                        rows = self.payload[pi]
+                        val = rows if contrib_fn is None else contrib_fn(rows, d2)
+                        if total is None:
+                            total = jnp.zeros((queries.shape[0], val.shape[1]))
+                        total = total + w[:, None] * val
         return total

@@ -50,6 +50,11 @@ def _mt_tile(tri_ref, j, ox, oy, oz, dx, dy, dz):
     return t, u, v, det_ok
 
 
+_UNROLL_LIMIT = 128    # fully unroll the triangle loop below this count —
+                       # Mosaic pipelines straight-line code far better than
+                       # an scf.for with SMEM-dependent bodies
+
+
 def _closest_kernel(n_tris, tri_ref, ox, oy, oz, dx, dy, dz, mint, maxt,
                     t_out, u_out, v_out, prim_out, hit_out):
     o_x, o_y, o_z = ox[...], oy[...], oz[...]
@@ -69,13 +74,18 @@ def _closest_kernel(n_tris, tri_ref, ox, oy, oz, dx, dy, dz, mint, maxt,
         prim_best = jnp.where(hit, j, prim_best)
         return t_best, u_best, v_best, prim_best
 
-    init = (
+    state = (
         jnp.full(o_x.shape, jnp.inf, jnp.float32),
         jnp.zeros(o_x.shape, jnp.float32),
         jnp.zeros(o_x.shape, jnp.float32),
         jnp.full(o_x.shape, -1, jnp.int32),
     )
-    t_best, u_best, v_best, prim_best = jax.lax.fori_loop(0, n_tris, body, init)
+    if n_tris <= _UNROLL_LIMIT:
+        for j in range(n_tris):
+            state = body(j, state)
+    else:
+        state = jax.lax.fori_loop(0, n_tris, body, state)
+    t_best, u_best, v_best, prim_best = state
     t_out[...] = t_best
     u_out[...] = u_best
     v_out[...] = v_best
@@ -97,9 +107,12 @@ def _any_kernel(n_tris, tri_ref, ox, oy, oz, dx, dy, dz, mint, maxt, hit_out):
         # int32 carry: Mosaic cannot legalize a loop-carried bool vector
         return occluded | hit.astype(jnp.int32)
 
-    occluded = jax.lax.fori_loop(
-        0, n_tris, body, jnp.zeros(o_x.shape, jnp.int32)
-    )
+    occluded = jnp.zeros(o_x.shape, jnp.int32)
+    if n_tris <= _UNROLL_LIMIT:
+        for j in range(n_tris):
+            occluded = body(j, occluded)
+    else:
+        occluded = jax.lax.fori_loop(0, n_tris, body, occluded)
     hit_out[...] = occluded
 
 

@@ -1,0 +1,9 @@
+from mitsuba_tpu.subsurface.dipole import (
+    DipoleParams, make_dipole, sample_irradiance_points, compute_irradiance,
+    dipole_rd, dipole_lo, prepare_dipole,
+)
+
+__all__ = [
+    "DipoleParams", "make_dipole", "sample_irradiance_points",
+    "compute_irradiance", "dipole_rd", "dipole_lo", "prepare_dipole",
+]

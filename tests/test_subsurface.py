@@ -1,0 +1,72 @@
+"""Dipole BSSRDF: profile normalization + translucency behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_tpu.core import transform as tf
+from mitsuba_tpu.render import mesh as mesh_mod
+from mitsuba_tpu.render.camera import make_perspective
+from mitsuba_tpu.render.scene import SceneBuilder
+from mitsuba_tpu.subsurface import (
+    dipole_lo, dipole_rd, make_dipole, prepare_dipole,
+)
+
+
+def test_rd_total_reflectance():
+    """∫ Rd(r) 2πr dr equals the classical dipole total diffuse reflectance
+    for the given reduced albedo (Jensen 2001 eq. 5 closed form)."""
+    p = make_dipole(sigma_s=(1.0,) * 3, sigma_a=(0.05,) * 3, eta=1.0)
+    r = jnp.linspace(1e-3, 60.0, 200_000)
+    dr = float(r[1] - r[0])
+    rd = dipole_rd(p, r)                 # (R, 3)
+    total = float((rd[:, 0] * 2 * np.pi * np.asarray(r)).sum() * dr)
+    # closed form: Rd_total = a'/2 (1 + e^{-4/3 A sqrt(3(1-a'))}) e^{-sqrt(3(1-a'))}
+    ap = float(p.alpha_p[0])
+    a_bc = 1.0  # eta=1 -> Fdr=0? reference formula gives A=(1+Fdr)/(1-Fdr)
+    s = np.sqrt(3 * (1 - ap))
+    expect = ap / 2 * (1 + np.exp(-4.0 / 3.0 * a_bc * s)) * np.exp(-s)
+    assert abs(total - expect) / expect < 0.08, (total, expect)
+
+
+def test_rd_monotone_decreasing():
+    p = make_dipole((2.0,) * 3, (0.1,) * 3)
+    r = jnp.asarray([0.1, 0.5, 1.0, 2.0, 5.0])
+    rd = np.asarray(dipole_rd(p, r))[:, 0]
+    assert (np.diff(rd) < 0).all()
+
+
+def _slab_scene():
+    b = SceneBuilder()
+    mat = b.materials.lambertian((0.0, 0.0, 0.0))
+    lightm = b.materials.lambertian((0.0, 0.0, 0.0))
+    # vertical slab in the x=0 plane; winding so the normal faces +x
+    # (toward the light): cross(e1,e2) must point at +x
+    slab = mesh_mod.make_quad([0, -1, -1], [0, 1, -1], [0, 1, 1], [0, -1, 1])
+    b.add_shape(slab, mat)
+    # light normal must face -x (toward the slab)
+    light = mesh_mod.make_quad([3, -1, -1], [3, -1, 1], [3, 1, 1], [3, 1, -1])
+    b.add_area_emitter_shape(light, lightm, (5.0, 5.0, 5.0))
+    cam = make_perspective(tf.look_at([-3, 0, 0], [0, 0, 0], [0, 1, 0]), 40, 1.0)
+    b.set_camera(cam, 8, 8)
+    return b.build(backend="brute")
+
+
+def test_dipole_translucency():
+    """Irradiance arrives on the lit (+x) side; dipole transport must carry
+    energy to query points on the shadow side."""
+    scene = _slab_scene()
+    p = make_dipole(sigma_s=(2.0,) * 3, sigma_a=(0.02,) * 3, eta=1.3)
+    cache = prepare_dipole(scene, p, n_points=512, n_irr_samples=8, seed=0,
+                           shape_id=0)
+    # the slab's irradiance samples must see light
+    assert float(cache.irradiance.mean()) > 0.05
+    # query Lo on the dark side of the slab center vs far corner
+    x_center = jnp.asarray([[0.0, 0.0, 0.0]])
+    x_corner = jnp.asarray([[0.0, 0.95, 0.95]])
+    wo_cos = jnp.asarray([1.0])
+    lo_c = float(dipole_lo(cache, x_center, wo_cos)[0, 0])
+    lo_k = float(dipole_lo(cache, x_corner, wo_cos)[0, 0])
+    assert lo_c > 0.0
+    assert lo_c > lo_k  # more surrounding material near the center
+    # physical sanity: Lo below the incident radiance scale
+    assert lo_c < 5.0
