@@ -87,6 +87,17 @@ def load_shape_mesh(shape_node, base_dir):
             p.get("p1", (0, 0, 0)), p.get("p2", (0, 0, 1)),
             float(p.get("radius", 1.0)),
         )
+    elif t == "hair":
+        from mitsuba_tpu.io.hairio import load_hair
+
+        mesh = load_hair(
+            os.path.join(base_dir, p["filename"]),
+            radius=float(p.get("radius", 0.05)),
+        )
+    elif t == "hspan":
+        from mitsuba_tpu.io.hairio import load_hspan
+
+        mesh = load_hspan(os.path.join(base_dir, p["filename"]))
     else:
         raise ValueError(f"unsupported shape type '{t}'")
     to_world = p.get("toWorld")
@@ -100,6 +111,39 @@ def load_shape_mesh(shape_node, base_dir):
 
 
 def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
+    t = shape_node["type"]
+    if t == "shapegroup":
+        # reference src/shapes/group.cpp: a named collection only
+        # instantiated via <shape type="instance"> — nothing added here.
+        return
+    if t in ("instance", "animatedinstance"):
+        # reference src/shapes/{instance,animatedinstance}.cpp: kd-tree-in-
+        # kd-tree instancing. TPU re-design: flatten — append a transformed
+        # copy of the group geometry (HBM-resident SoA replication; nested
+        # traversal would break the wavefront's uniform gather loop).
+        # animatedinstance uses the transform at shutter-open time.
+        group = None
+        for c in shape_node["children"]:
+            if c["category"] == "shape" and c["type"] == "shapegroup":
+                group = c
+        if group is None:
+            raise ValueError("<instance> needs a <ref> to a shapegroup")
+        to_world = shape_node["props"].get("toWorld")
+        for sub in group["children"]:
+            if sub["category"] != "shape":
+                continue
+            sub_copy = dict(sub)
+            if to_world is not None:
+                import numpy as _np
+                props = dict(sub["props"])
+                inner = props.get("toWorld")
+                comp = _np.asarray(to_world) if inner is None else (
+                    _np.asarray(to_world) @ _np.asarray(inner)
+                )
+                props["toWorld"] = comp
+                sub_copy["props"] = props
+            add_shape(builder, sub_copy, base_dir, mat_cache, material_fn)
+        return
     mesh = load_shape_mesh(shape_node, base_dir)
     bsdf = _find(shape_node, "bsdf")
     lum = _find(shape_node, "luminaire")
