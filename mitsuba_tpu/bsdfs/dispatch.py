@@ -15,10 +15,12 @@ import jax.numpy as jnp
 
 from mitsuba_tpu.bsdfs import models as md
 from mitsuba_tpu.bsdfs.table import (
+    COMPOSITE,
     DIELECTRIC,
     DIFF_TRANS,
     HANRAHAN_KRUEGER,
     LAMBERTIAN,
+    MAX_COMPOSITE_LOBES,
     MIRROR,
     PHONG,
     ROUGH_CONDUCTOR,
@@ -65,7 +67,37 @@ def _resolve(p, albedo=None):
     return p
 
 
+def _composite_resolve(table, material_id, u_lobe=None):
+    """For composite rows: per-lane (child_id, weight_scale, child_pdf_mix).
+
+    Returns (is_comp, child slots) for the wrapper layer in eval/pdf/sample.
+    """
+    i = jnp.clip(material_id, 0, table.n_materials - 1)
+    is_comp = table.kind[i] == COMPOSITE
+    cids = table.child_ids[i]       # (N, 4)
+    cws = table.child_weights[i]    # (N, 4)
+    return is_comp, cids, cws
+
+
 def bsdf_eval(table: MaterialTable, material_id, wi, wo, albedo=None):
+    """fCos for every lane (reference BSDF::fCos); composite rows sum their
+    weighted children (reference composite.cpp f())."""
+    if table.has_composite:
+        is_comp, cids, cws = _composite_resolve(table, material_id)
+        base = _bsdf_eval_leaf(table, material_id, wi, wo, albedo)
+        total = jnp.zeros_like(base)
+        for k in range(MAX_COMPOSITE_LOBES):
+            child = jnp.where(cids[:, k] >= 0, cids[:, k], 0)
+            val = _bsdf_eval_leaf(table, child, wi, wo, None)
+            total = total + jnp.where(
+                (is_comp & (cids[:, k] >= 0))[:, None],
+                cws[:, k][:, None] * val, 0.0,
+            )
+        return jnp.where(is_comp[:, None], total, base)
+    return _bsdf_eval_leaf(table, material_id, wi, wo, albedo)
+
+
+def _bsdf_eval_leaf(table: MaterialTable, material_id, wi, wo, albedo=None):
     """fCos for every lane (reference BSDF::fCos)."""
     p = _resolve(table.gather(material_id), albedo)
     fl = _flip_mask(p, wi)
@@ -84,6 +116,23 @@ def bsdf_eval(table: MaterialTable, material_id, wi, wo, albedo=None):
 
 
 def bsdf_pdf(table: MaterialTable, material_id, wi, wo):
+    """Solid-angle pdf (composite: weight-mixed child pdfs)."""
+    if table.has_composite:
+        is_comp, cids, cws = _composite_resolve(table, material_id)
+        base = _bsdf_pdf_leaf(table, material_id, wi, wo)
+        wsum = jnp.maximum(jnp.where(cids >= 0, cws, 0.0).sum(-1), 1e-8)
+        total = jnp.zeros_like(base)
+        for k in range(MAX_COMPOSITE_LOBES):
+            child = jnp.where(cids[:, k] >= 0, cids[:, k], 0)
+            val = _bsdf_pdf_leaf(table, child, wi, wo)
+            total = total + jnp.where(
+                is_comp & (cids[:, k] >= 0), (cws[:, k] / wsum) * val, 0.0
+            )
+        return jnp.where(is_comp, total, base)
+    return _bsdf_pdf_leaf(table, material_id, wi, wo)
+
+
+def _bsdf_pdf_leaf(table: MaterialTable, material_id, wi, wo):
     """Solid-angle pdf of bsdf_sample (reference BSDF::pdf)."""
     p = table.gather(material_id)
     fl = _flip_mask(p, wi)
@@ -101,6 +150,39 @@ def bsdf_pdf(table: MaterialTable, material_id, wi, wo):
 
 
 def bsdf_sample(table: MaterialTable, material_id, wi, u2, u1, albedo=None):
+    """Sample wo ~ BSDF (composite: pick a child lobe by weight, rescale u1;
+    reference composite.cpp sample())."""
+    if table.has_composite:
+        is_comp, cids, cws = _composite_resolve(table, material_id)
+        w_valid = jnp.where(cids >= 0, cws, 0.0)
+        wsum = jnp.maximum(w_valid.sum(-1), 1e-8)
+        cdf = jnp.cumsum(w_valid / wsum[:, None], axis=-1)
+        u_sel = u1
+        chosen = jnp.argmax(u_sel[:, None] <= cdf + 1e-7, axis=-1)
+        lo = jnp.where(chosen > 0,
+                       jnp.take_along_axis(cdf, jnp.maximum(chosen - 1, 0)[:, None],
+                                           axis=-1)[:, 0], 0.0)
+        pk = jnp.take_along_axis(w_valid / wsum[:, None], chosen[:, None], axis=-1)[:, 0]
+        u1_re = jnp.clip((u_sel - lo) / jnp.maximum(pk, 1e-8), 0.0, 1.0 - 1e-7)
+        child = jnp.take_along_axis(cids, chosen[:, None], axis=-1)[:, 0]
+        child = jnp.where(child >= 0, child, 0)
+        eff_id = jnp.where(is_comp, child, material_id)
+        eff_u1 = jnp.where(is_comp, u1_re, u1)
+        s = _bsdf_sample_leaf(table, eff_id, wi, u2, eff_u1, albedo)
+        # composite weight: (w_k * f_child) / (p_k * pdf_child) summed over
+        # lobes via full eval/pdf for MIS correctness
+        fcos = bsdf_eval(table, material_id, wi, s["wo"], albedo)
+        pdf = bsdf_pdf(table, material_id, wi, s["wo"])
+        w_comp = fcos / jnp.maximum(pdf, 1e-9)[:, None]
+        for key, comp_val in (("weight", w_comp), ("pdf", pdf)):
+            sel = is_comp[:, None] if s[key].ndim == 2 else is_comp
+            s[key] = jnp.where(sel, comp_val, s[key])
+        s["valid"] = jnp.where(is_comp, (pdf > 1e-10) & ~s["delta"], s["valid"])
+        return s
+    return _bsdf_sample_leaf(table, material_id, wi, u2, u1, albedo)
+
+
+def _bsdf_sample_leaf(table: MaterialTable, material_id, wi, u2, u1, albedo=None):
     """Sample wo ~ BSDF; returns the merged per-lane sample dict
     (reference BSDF::sampleCos)."""
     p = _resolve(table.gather(material_id), albedo)

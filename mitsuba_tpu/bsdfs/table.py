@@ -22,6 +22,8 @@ ROUGH_GLASS = 6     # src/bsdfs/roughglass.cpp
 DIFF_TRANS = 7      # src/bsdfs/difftrans.cpp (diffuse transmitter)
 WISCOMBE = 8        # src/bsdfs/wiscombe.cpp (fork: snow BRDF)
 HANRAHAN_KRUEGER = 9  # src/bsdfs/hanrahan-krueger.cpp
+COMPOSITE = 10      # src/bsdfs/composite.cpp (N weighted lobes)
+MAX_COMPOSITE_LOBES = 4
 
 KIND_NAMES = {
     LAMBERTIAN: "lambertian",
@@ -34,6 +36,7 @@ KIND_NAMES = {
     DIFF_TRANS: "difftrans",
     WISCOMBE: "wiscombe",
     HANRAHAN_KRUEGER: "hk",
+    COMPOSITE: "composite",
 }
 
 
@@ -53,7 +56,10 @@ class MaterialTable:
     tex_id: jnp.ndarray         # (M,) reflectance texture index, -1 = constant
     two_sided: jnp.ndarray      # (M,) bool — twosided adapter applied
     opacity: jnp.ndarray        # (M,) mask adapter: 1 = opaque
+    child_ids: jnp.ndarray = None      # (M, 4) composite child rows, -1 pad
+    child_weights: jnp.ndarray = None  # (M, 4) composite lobe weights
     kinds_present: tuple = static_field(default=((LAMBERTIAN, 0),))
+    has_composite: bool = static_field(default=False)
 
     @property
     def n_materials(self):
@@ -88,6 +94,8 @@ class MaterialBuilder:
 
     def _add(self, **kw):
         defaults = dict(
+            child_ids=(-1,) * MAX_COMPOSITE_LOBES,
+            child_weights=(0.0,) * MAX_COMPOSITE_LOBES,
             kind=LAMBERTIAN,
             reflectance=(0.5, 0.5, 0.5),
             specular=(1.0, 1.0, 1.0),
@@ -167,6 +175,17 @@ class MaterialBuilder:
             transmittance=tuple(b_star), alpha_u=g,
         )
 
+    def composite(self, children, weights):
+        """N-weighted-lobe combiner (reference composite.cpp, up to 4
+        lobes): children = material row ids (must not be composites),
+        weights sum to <= 1 (reference verifies energy conservation)."""
+        assert len(children) == len(weights) <= MAX_COMPOSITE_LOBES
+        for c in children:
+            assert self.rows[c]["kind"] != COMPOSITE, "no nested composites"
+        cid = list(children) + [-1] * (MAX_COMPOSITE_LOBES - len(children))
+        cw = list(weights) + [0.0] * (MAX_COMPOSITE_LOBES - len(weights))
+        return self._add(kind=COMPOSITE, child_ids=cid, child_weights=cw)
+
     def hanrahan_krueger(self, sigma_a=(0.032, 0.17, 0.48),
                          sigma_s=(0.74, 0.88, 1.01), g=0.0,
                          eta_int=1.32, eta_ext=1.0, ss_factor=(1.0,) * 3,
@@ -206,9 +225,13 @@ class MaterialBuilder:
         i32 = lambda k: jnp.asarray(np.array([r[k] for r in self.rows], np.int32))
         # (kind, dist) pairs: microfacet distribution is a static trace-time
         # choice, so each distinct combination is dispatched separately.
+        # Composite rows dispatch through their children, which are already
+        # listed; the COMPOSITE kind itself is handled by the wrapper layer.
         kinds_present = tuple(
-            sorted({(int(r["kind"]), int(r["dist_type"])) for r in self.rows})
+            sorted({(int(r["kind"]), int(r["dist_type"])) for r in self.rows
+                    if r["kind"] != COMPOSITE})
         )
+        has_composite = any(r["kind"] == COMPOSITE for r in self.rows)
         return MaterialTable(
             kind=i32("kind"),
             reflectance=f32("reflectance"),
@@ -224,5 +247,8 @@ class MaterialBuilder:
             tex_id=i32("tex_id"),
             two_sided=jnp.asarray(np.array([r["two_sided"] for r in self.rows], bool)),
             opacity=f32("opacity"),
+            child_ids=i32("child_ids"),
+            child_weights=f32("child_weights"),
             kinds_present=kinds_present,
+            has_composite=has_composite,
         )

@@ -133,6 +133,17 @@ def build_material(mb, bsdf_node, two_sided: bool = False, opacity=None,
                 use_diffuse=bool(p.get("diffuseReflectance", True)),
             )
         )
+    if t == "composite":
+        # reference composite.cpp: string "weights" = comma-separated list,
+        # nested bsdf children in order
+        wstr = p.get("weights", "")
+        weights = [float(x) for x in str(wstr).replace(";", ",").split(",") if x.strip()]
+        children = [c for c in bsdf_node["children"] if c["category"] == "bsdf"]
+        if len(weights) != len(children):
+            raise ValueError(
+                f"composite: {len(children)} children but {len(weights)} weights")
+        cids = [build_material(mb, c, tb=tb, base_dir=base_dir) for c in children]
+        return finish(mb.composite(cids, weights))
     if t == "twosided":
         inner = _first_bsdf_child(bsdf_node)
         return build_material(mb, inner, two_sided=True, opacity=opacity,

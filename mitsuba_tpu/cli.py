@@ -96,7 +96,16 @@ def main(argv=None):
                 f"spp={pcfg.spp} depth={pcfg.max_depth} "
                 f"integrator={cfg['integrator']} filter={pcfg.rfilter}"
             )
-        img, aux = render(scene, pcfg, seed=args.seed)
+        if cfg["integrator"] in ("volpath", "volpath_simple") or "medium" in cfg:
+            from mitsuba_tpu.integrators.volpath import render_volpath
+            from mitsuba_tpu.media import no_medium
+
+            img, aux = render_volpath(
+                scene, cfg.get("medium", no_medium()), pcfg, seed=args.seed,
+                mis=cfg["integrator"] != "volpath_simple",
+            )
+        else:
+            img, aux = render(scene, pcfg, seed=args.seed)
         img = np.asarray(img)
         ext = os.path.splitext(out)[1].lower()
         if ext == ".exr":

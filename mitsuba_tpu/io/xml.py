@@ -293,9 +293,75 @@ def build_scene(parsed, base_dir: str, backend: str = "auto"):
         lum["props"]["__base_dir__"] = base_dir
         xml_shapes.add_scene_luminaire(builder, lum)
 
+    # scene-level ambient medium (reference: media attach to the camera or
+    # shapes; v1 scope is one ambient medium, carried in the config)
+    med_node = _find_child(parsed, "medium")
+    if med_node is not None:
+        config["medium"] = _build_medium(med_node, base_dir)
+
     for shape in _find_children(parsed, "shape"):
         xml_shapes.add_shape(builder, shape, base_dir, mat_cache,
                              _material_from_bsdf)
 
     scene = builder.build(backend=backend)
     return scene, config
+
+
+def _build_medium(node, base_dir):
+    """<medium type="homogeneous|heterogeneous"> → MediumTable.
+
+    Property names per reference src/medium/: sigmaS/sigmaA or
+    sigmaT+albedo (homogeneous.cpp), densityMultiplier + gridvolume child
+    (heterogeneous.cpp); nested <phase type="hg"><float name="g" .../>.
+    """
+    import os
+
+    from mitsuba_tpu.media import make_homogeneous
+    from mitsuba_tpu.media.phase import HG, ISOTROPIC, KAJIYA_KAY, MICROFLAKE
+
+    p = node["props"]
+
+    def spec(name, default):
+        v = p.get(name, default)
+        if isinstance(v, (int, float)):
+            return (float(v),) * 3
+        return tuple(v)
+
+    if "sigmaT" in p or "albedo" in p:
+        st = spec("sigmaT", 1.0)
+        al = spec("albedo", 0.5)
+        sigma_s = tuple(t * a for t, a in zip(st, al))
+        sigma_a = tuple(t - s_ for t, s_ in zip(st, sigma_s))
+    else:
+        sigma_s = spec("sigmaS", 1.0)
+        sigma_a = spec("sigmaA", 0.1)
+    g = 0.0
+    phase_kind = None
+    for c in node["children"]:
+        if c["category"] == "phase":
+            t = c["type"]
+            if t == "hg":
+                g = float(c["props"].get("g", 0.8))
+                phase_kind = HG
+            elif t == "isotropic":
+                phase_kind = ISOTROPIC
+            elif t == "kkay":
+                phase_kind = KAJIYA_KAY
+            elif t == "microflake":
+                phase_kind = MICROFLAKE
+    if node["type"] == "heterogeneous":
+        from mitsuba_tpu.io.volio import load_heterogeneous_from_vol
+
+        vol = None
+        for c in node["children"]:
+            if c["category"] == "volume" and c.get("name") in ("density", None):
+                vol = c
+        if vol is None or "filename" not in vol["props"]:
+            raise SceneParseError("heterogeneous medium needs a gridvolume density")
+        return load_heterogeneous_from_vol(
+            os.path.join(base_dir, vol["props"]["filename"]),
+            sigma_s, sigma_a,
+            density_scale=float(p.get("densityMultiplier", 1.0)), g=g,
+        )
+    med = make_homogeneous(sigma_s, sigma_a, g=g, phase_kind=phase_kind)
+    return med

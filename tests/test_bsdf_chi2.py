@@ -173,3 +173,29 @@ def test_wiscombe_chi2_and_energy():
 def test_hk_chi2():
     t = make_table("hanrahan_krueger", g=0.3)
     run_chi2(t, fixed_wi(45.0), seed=23)
+
+
+def test_composite_chi2_and_linearity():
+    b = MaterialBuilder()
+    d = b.lambertian((0.6, 0.3, 0.2))
+    s_ = b.phong(diffuse=(0, 0, 0), specular=(0.3,) * 3, exponent=25)
+    c = b.composite([d, s_], [0.6, 0.4])
+    t = b.build()
+    wi = fixed_wi(30.0)
+
+    def sample_fn(key, n_s):
+        k1, k2 = jax.random.split(key)
+        u2 = jax.random.uniform(k1, (n_s, 2))
+        u1 = jax.random.uniform(k2, (n_s,))
+        mid = jnp.full(n_s, c, jnp.int32)
+        smp = bsdf_sample(t, mid, jnp.broadcast_to(wi, (n_s, 3)), u2, u1)
+        return jnp.where(smp["valid"][:, None], smp["wo"], 0.0)
+
+    def pdf_fn(dd):
+        sh = dd.shape[:-1]
+        d2 = dd.reshape(-1, 3)
+        mid = jnp.full(d2.shape[0], c, jnp.int32)
+        return bsdf_pdf(t, mid, jnp.broadcast_to(wi, d2.shape), d2).reshape(sh)
+
+    res = chi2_test(jax.random.key(31), sample_fn, pdf_fn, n_samples=300_000)
+    assert res.passed, f"p={res.p_value:.2e}"
