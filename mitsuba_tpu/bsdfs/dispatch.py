@@ -150,8 +150,42 @@ def _bsdf_pdf_leaf(table: MaterialTable, material_id, wi, wo):
 
 
 def bsdf_sample(table: MaterialTable, material_id, wi, u2, u1, albedo=None):
-    """Sample wo ~ BSDF (composite: pick a child lobe by weight, rescale u1;
-    reference composite.cpp sample())."""
+    """Sample wo ~ BSDF.
+
+    Opacity masks (reference mask.cpp): with probability 1-opacity the
+    surface is passed straight through (delta transmission, weight 1); u1 is
+    rescaled for the surviving lobe decision.  Composite rows pick a child
+    lobe by weight (composite.cpp sample())."""
+    i = jnp.clip(material_id, 0, table.n_materials - 1)
+    opacity = table.opacity[i]
+    has_mask = bool((_np_min_opacity(table)) < 0.999)
+    if has_mask:
+        pass_through = u1 >= opacity
+        u1 = jnp.clip(u1 / jnp.maximum(opacity, 1e-6), 0.0, 1.0 - 1e-7)
+    s = _bsdf_sample_dispatch(table, material_id, wi, u2, u1, albedo)
+    if has_mask:
+        wo_pass = -wi
+        s = dict(s)
+        s["wo"] = jnp.where(pass_through[:, None], wo_pass, s["wo"])
+        s["weight"] = jnp.where(pass_through[:, None], 1.0, s["weight"])
+        s["pdf"] = jnp.where(pass_through, 1.0, s["pdf"])
+        s["delta"] = jnp.where(pass_through, True, s["delta"])
+        s["transmission"] = jnp.where(pass_through, True, s["transmission"])
+        s["valid"] = jnp.where(pass_through, True, s["valid"])
+    return s
+
+
+def _np_min_opacity(table):
+    import numpy as np
+
+    try:
+        return float(np.asarray(table.opacity).min())
+    except Exception:
+        return 1.0
+
+
+def _bsdf_sample_dispatch(table: MaterialTable, material_id, wi, u2, u1, albedo=None):
+    """Composite/leaf sampling dispatch."""
     if table.has_composite:
         is_comp, cids, cws = _composite_resolve(table, material_id)
         w_valid = jnp.where(cids >= 0, cws, 0.0)

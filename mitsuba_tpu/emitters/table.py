@@ -106,6 +106,17 @@ class EmitterBuilder:
         """Constant environment luminaire (src/luminaires/constant.cpp)."""
         return self._add(kind=CONSTANT, radiance=radiance)
 
+    def collimated(self, position, direction, radiance, radius: float = 0.01):
+        """Collimated disk beam (src/luminaires/collimated.cpp:29-32):
+        parallel light of the given radiance within a cylinder of `radius`
+        around the axis position + t*direction. `cutoff_cos` row slot
+        stores the beam radius."""
+        d = np.asarray(direction, np.float64)
+        return self._add(
+            kind=COLLIMATED, position=position, direction=d / np.linalg.norm(d),
+            radiance=radiance, cutoff_cos=float(radius),
+        )
+
     def envmap(self, image, to_world=None, scale: float = 1.0):
         """Lat-long environment map (src/luminaires/envmap.cpp)."""
         img = np.asarray(image, np.float32)[:, :, :3] * scale
@@ -327,6 +338,22 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
         out_value = jnp.where(mask[:, None], em.radiance[eid], out_value)
         out_pdf = jnp.where(mask, pmf, out_pdf)
         out_delta = out_delta | mask
+    if COLLIMATED in kinds:
+        mask = sel_other & (kind == COLLIMATED)
+        axis = em.direction[eid]
+        rel = p_ref - em.position[eid]
+        t_ax = m.dot(rel, axis)
+        radial = rel - t_ax[:, None] * axis
+        inside = (m.length(radial) <= em.cutoff_cos[eid]) & (t_ax > 0)
+        d = -axis
+        out_d = jnp.where(mask[:, None], d, out_d)
+        out_dist = jnp.where(mask, t_ax, out_dist)
+        out_value = jnp.where(
+            (mask & inside)[:, None], em.radiance[eid], out_value
+        )
+        out_pdf = jnp.where(mask, pmf, out_pdf)
+        out_delta = out_delta | mask
+        valid = valid & jnp.where(mask, inside, True)
     if CONSTANT in kinds:
         mask = sel_other & (kind == CONSTANT)
         d = warp.square_to_uniform_sphere(u_pos)
