@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-BM = 64           # sublane tile: BM*128 rays per program (large tiles
+BM = 32           # sublane tile: BM*128 rays per program (large tiles
                   # amortize per-program grid overhead)
 _DET_EPS = 1e-9
 
