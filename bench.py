@@ -22,6 +22,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: recompiling the wavefront program through the
+# remote compile helper costs minutes; cache hits cost milliseconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/mts_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from mitsuba_tpu.integrators import PathConfig
