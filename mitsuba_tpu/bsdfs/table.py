@@ -66,8 +66,44 @@ class MaterialTable:
         return self.kind.shape[0]
 
     def gather(self, material_id):
-        """Gather per-lane parameter rows (clamped; id<0 ⇒ row 0, callers mask)."""
-        i = jnp.clip(material_id, 0, self.n_materials - 1)
+        """Gather per-lane parameter rows (clamped; id<0 ⇒ row 0, callers
+        mask).  Small tables (the usual case) gather all 13 fields with ONE
+        one-hot matmul — an MXU op instead of 13 serialized dynamic gathers."""
+        mcount = self.n_materials
+        i = jnp.clip(material_id, 0, mcount - 1)
+        if mcount <= 64 and i.ndim == 1:
+            onehot = (i[:, None] == jnp.arange(mcount)[None, :]).astype(jnp.float32)
+            packed = jnp.concatenate(
+                [
+                    self.reflectance, self.specular, self.transmittance,
+                    self.cond_eta, self.cond_k,
+                    self.eta[:, None], self.alpha_u[:, None],
+                    self.alpha_v[:, None], self.exponent[:, None],
+                    self.opacity[:, None],
+                    self.kind[:, None].astype(jnp.float32),
+                    self.dist_type[:, None].astype(jnp.float32),
+                    self.tex_id[:, None].astype(jnp.float32),
+                    self.two_sided[:, None].astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            rows = onehot @ packed
+            return {
+                "reflectance": rows[:, 0:3],
+                "specular": rows[:, 3:6],
+                "transmittance": rows[:, 6:9],
+                "cond_eta": rows[:, 9:12],
+                "cond_k": rows[:, 12:15],
+                "eta": rows[:, 15],
+                "alpha_u": rows[:, 16],
+                "alpha_v": rows[:, 17],
+                "exponent": rows[:, 18],
+                "opacity": rows[:, 19],
+                "kind": rows[:, 20].astype(jnp.int32),
+                "dist_type": rows[:, 21].astype(jnp.int32),
+                "tex_id": jnp.round(rows[:, 22]).astype(jnp.int32),
+                "two_sided": rows[:, 23] > 0.5,
+            }
         return {
             "kind": self.kind[i],
             "reflectance": self.reflectance[i],

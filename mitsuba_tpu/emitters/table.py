@@ -260,9 +260,22 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
     value = emitted radiance (NOT divided by pdf — caller divides).
     """
     n = p_ref.shape[0]
-    rec = jnp.searchsorted(em.rec_cdf, u_select, side="right")
-    rec = jnp.clip(rec, 0, em.rec_pmf.shape[0] - 1).astype(jnp.int32)
-    pmf = em.rec_pmf[rec]
+    n_rec = em.rec_pmf.shape[0]
+    small = n_rec <= 128
+    if small:
+        # small record sets: linear compare-sum beats searchsorted's gather
+        # loop, and the (N, R) one-hot enables MXU gathers below
+        rec = jnp.sum(
+            (u_select[:, None] > em.rec_cdf[None, :]).astype(jnp.int32), axis=1
+        )
+        rec = jnp.clip(rec, 0, n_rec - 1)
+        onehot = (rec[:, None] == jnp.arange(n_rec)[None, :]).astype(jnp.float32)
+        pmf = onehot @ em.rec_pmf
+    else:
+        rec = jnp.searchsorted(em.rec_cdf, u_select, side="right")
+        rec = jnp.clip(rec, 0, n_rec - 1).astype(jnp.int32)
+        onehot = None
+        pmf = em.rec_pmf[rec]
     eid = em.rec_emitter[rec]
     kind = em.kind[eid]
     is_tri = rec < em.n_tri_records
@@ -277,16 +290,32 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
 
     kinds = em.kinds_present
     if AREA in kinds:
-        ti = jnp.clip(rec, 0, geom.v0.shape[0] - 1)
+        t_rec = em.n_tri_records
+        if small and t_rec > 0:
+            # gather triangle rows with one one-hot matmul (MXU-friendly):
+            # columns [v0|e1|e2|pdf_area]
+            tri_pack = jnp.concatenate(
+                [
+                    geom.v0[:t_rec], geom.e1[:t_rec], geom.e2[:t_rec],
+                    em.tri_pdf_area[:t_rec, None],
+                ],
+                axis=1,
+            )
+            rows = onehot[:, :t_rec] @ tri_pack
+            v0_s, e1_s, e2_s = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+            pdf_area = rows[:, 9]
+        else:
+            ti = jnp.clip(rec, 0, geom.v0.shape[0] - 1)
+            v0_s, e1_s, e2_s = geom.v0[ti], geom.e1[ti], geom.e2[ti]
+            pdf_area = em.tri_pdf_area[ti]
         bary = warp.square_to_uniform_triangle(u_pos)
-        pos = geom.v0[ti] + geom.e1[ti] * bary[:, :1] + geom.e2[ti] * bary[:, 1:2]
-        nrm = m.normalize(jnp.cross(geom.e1[ti], geom.e2[ti]))
+        pos = v0_s + e1_s * bary[:, :1] + e2_s * bary[:, 1:2]
+        nrm = m.normalize(jnp.cross(e1_s, e2_s))
         to_l = pos - p_ref
         dist2 = jnp.maximum(m.squared_length(to_l), 1e-12)
         dist = jnp.sqrt(dist2)
         d = to_l / dist[:, None]
         cos_l = m.dot(nrm, -d)              # one-sided: emits on normal side
-        pdf_area = em.tri_pdf_area[ti]
         pdf_sa = pdf_area * dist2 / jnp.maximum(cos_l, 1e-8)
         ok = is_tri & (cos_l > 1e-6) & (pdf_area > 0)
         out_d = jnp.where(ok[:, None], d, out_d)

@@ -182,3 +182,145 @@ def any_hit(tri_table, o, d, mint, maxt, interpret: bool = False):
 def make_tri_table(v0, e1, e2):
     """Pack triangle SoA into the (T, 9) SMEM layout."""
     return jnp.concatenate([v0, e1, e2], axis=1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fused closest-hit + shading-record kernel: interpolated normals/uv and
+# material/emitter ids come straight out of the kernel, replacing ~15 HBM
+# gathers per bounce in render/intersect.py::ray_intersect.
+# Triangle table layout (T, 29):
+#   [0:9]   v0 | e1 | e2
+#   [9:18]  n0 | n1 | n2          (shading normals per corner)
+#   [18:24] uv0 | uv1 | uv2
+#   [24]    material_id  [25] emitter_id  [26] shape_id  (exact in f32)
+#   [27:29] padding
+# ---------------------------------------------------------------------------
+
+SHD_COLS = 29
+
+
+def _shaded_kernel(n_tris, tri_ref, ox, oy, oz, dx, dy, dz, mint, maxt,
+                   t_out, u_out, v_out, prim_out, hit_out,
+                   gnx, gny, gnz, snx, sny, snz, uvx, uvy, mid_out, eid_out,
+                   sid_out):
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    mn, mx = mint[...], maxt[...]
+    zero = jnp.zeros(o_x.shape, jnp.float32)
+
+    def body(j, state):
+        (t_b, u_b, v_b, p_b,
+         gx, gy, gz, sx, sy, sz, tu, tv, mid, eid, sid) = state
+        t, u, v, det_ok = _mt_tile(tri_ref, j, o_x, o_y, o_z, d_x, d_y, d_z)
+        hit = (
+            det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > mn) & (t < mx) & (t < t_b)
+        )
+        e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
+        e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
+        # geometric normal (unnormalized; normalized once at the end)
+        gnx_j = e1y * e2z - e1z * e2y
+        gny_j = e1z * e2x - e1x * e2z
+        gnz_j = e1x * e2y - e1y * e2x
+        w = 1.0 - u - v
+        snx_j = w * tri_ref[j, 9] + u * tri_ref[j, 12] + v * tri_ref[j, 15]
+        sny_j = w * tri_ref[j, 10] + u * tri_ref[j, 13] + v * tri_ref[j, 16]
+        snz_j = w * tri_ref[j, 11] + u * tri_ref[j, 14] + v * tri_ref[j, 17]
+        tu_j = w * tri_ref[j, 18] + u * tri_ref[j, 20] + v * tri_ref[j, 22]
+        tv_j = w * tri_ref[j, 19] + u * tri_ref[j, 21] + v * tri_ref[j, 23]
+
+        def sel(a, b):
+            return jnp.where(hit, a, b)
+
+        return (
+            sel(t, t_b), sel(u, u_b), sel(v, v_b), sel(j, p_b),
+            sel(gnx_j, gx), sel(gny_j, gy), sel(gnz_j, gz),
+            sel(snx_j, sx), sel(sny_j, sy), sel(snz_j, sz),
+            sel(tu_j, tu), sel(tv_j, tv),
+            sel(tri_ref[j, 24], mid), sel(tri_ref[j, 25], eid),
+            sel(tri_ref[j, 26], sid),
+        )
+
+    state = (
+        jnp.full(o_x.shape, jnp.inf, jnp.float32), zero, zero,
+        jnp.full(o_x.shape, -1, jnp.int32),
+        zero, zero, jnp.ones(o_x.shape, jnp.float32),
+        zero, zero, jnp.ones(o_x.shape, jnp.float32),
+        zero, zero,
+        jnp.full(o_x.shape, -1.0, jnp.float32),
+        jnp.full(o_x.shape, -1.0, jnp.float32),
+        jnp.full(o_x.shape, -1.0, jnp.float32),
+    )
+    if n_tris <= _UNROLL_LIMIT:
+        for j in range(n_tris):
+            state = body(j, state)
+    else:
+        state = jax.lax.fori_loop(0, n_tris, body, state)
+    (t_b, u_b, v_b, p_b, gx, gy, gz, sx, sy, sz, tu, tv, mid, eid, sid) = state
+    g_inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+    s_inv = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-20))
+    t_out[...] = t_b
+    u_out[...] = u_b
+    v_out[...] = v_b
+    prim_out[...] = p_b
+    hit_out[...] = (p_b >= 0).astype(jnp.int32)
+    gnx[...] = gx * g_inv
+    gny[...] = gy * g_inv
+    gnz[...] = gz * g_inv
+    snx[...] = sx * s_inv
+    sny[...] = sy * s_inv
+    snz[...] = sz * s_inv
+    uvx[...] = tu
+    uvy[...] = tv
+    mid_out[...] = mid.astype(jnp.int32)
+    eid_out[...] = eid.astype(jnp.int32)
+    sid_out[...] = sid.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_hit_shaded(tri_table, o, d, mint, maxt, interpret: bool = False):
+    """Fused closest hit + shading record. tri_table: (T, 29) — see layout
+    above. Returns dict(t,u,v,prim,valid,geo_n,sh_n,uv,material_id,
+    emitter_id)."""
+    t_count = tri_table.shape[0]
+    (ox, oy, oz, dx, dy, dz, mn, mx, n, m) = _pack_rays(o, d, mint, maxt)
+    grid = (m // BM,)
+    ray_spec = pl.BlockSpec((BM, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((m, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((m, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        functools.partial(_shaded_kernel, t_count),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 16,
+        out_shape=[f32, f32, f32, i32, i32,          # t,u,v,prim,hit
+                   f32, f32, f32, f32, f32, f32,     # geo_n, sh_n
+                   f32, f32, i32, i32, i32],         # uv, mid, eid, sid
+        interpret=interpret,
+    )(tri_table, ox, oy, oz, dx, dy, dz, mn, mx)
+    flat = [x.reshape(-1)[:n] for x in outs]
+    (t, u, v, prim, hit, gx, gy, gz, sx, sy, sz, tu, tv, mid, eid, sid) = flat
+    return dict(
+        t=t, u=u, v=v, prim=prim, valid=hit.astype(bool),
+        geo_n=jnp.stack([gx, gy, gz], -1),
+        sh_n=jnp.stack([sx, sy, sz], -1),
+        uv=jnp.stack([tu, tv], -1),
+        material_id=mid, emitter_id=eid, shape_id=sid,
+    )
+
+
+def make_shading_table(geom):
+    """Pack GeometryTables into the (T, 29) fused-kernel layout."""
+    t = geom.v0.shape[0]
+    return jnp.concatenate(
+        [
+            geom.v0, geom.e1, geom.e2,
+            geom.n0, geom.n1, geom.n2,
+            geom.uv0, geom.uv1, geom.uv2,
+            geom.material_id[:, None].astype(jnp.float32),
+            geom.emitter_id[:, None].astype(jnp.float32),
+            geom.shape_id[:, None].astype(jnp.float32),
+            jnp.zeros((t, 2), jnp.float32),
+        ],
+        axis=1,
+    )

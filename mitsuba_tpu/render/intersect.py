@@ -303,14 +303,35 @@ def _use_pallas() -> bool:
 def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
     """Closest-hit query → full Intersection record (reference
     skdtree.h:352 fillIntersectionRecord equivalent)."""
-    if geom.backend == "bvh":
-        t, u, v, prim, valid = _closest_bvh(geom, ray)
-    elif _use_pallas():
+    if geom.backend != "bvh" and _use_pallas():
+        # fused kernel: shading record interpolated on-chip, no HBM gathers
         from mitsuba_tpu.ops import intersect_pallas as ip
 
-        table = ip.make_tri_table(geom.v0, geom.e1, geom.e2)
-        t, u, v, prim, valid = ip.closest_hit(table, ray.o, ray.d, ray.mint, ray.maxt)
-        prim = jnp.where(valid, prim, 0)
+        table = ip.make_shading_table(geom)
+        r = ip.closest_hit_shaded(table, ray.o, ray.d, ray.mint, ray.maxt)
+        valid = r["valid"]
+        p = ray.at(r["t"])
+        frame = m.Frame.from_normal(r["sh_n"])
+        wi = frame.to_local(-ray.d)
+        prim = jnp.where(valid, r["prim"], 0)
+        return Intersection(
+            valid=valid,
+            t=jnp.where(valid, r["t"], jnp.inf),
+            p=p,
+            geo_n=r["geo_n"],
+            sh_n=r["sh_n"],
+            uv=r["uv"],
+            # frame tangent instead of e1[prim]: avoids an HBM gather; no
+            # consumer needs the true parametric dpdu yet (bump maps would)
+            dp_du=frame.s,
+            wi=wi,
+            prim_id=jnp.where(valid, prim, -1),
+            material_id=jnp.where(valid, r["material_id"], -1),
+            emitter_id=jnp.where(valid, r["emitter_id"], -1),
+            shape_id=jnp.where(valid, r["shape_id"], -1),
+        )
+    if geom.backend == "bvh":
+        t, u, v, prim, valid = _closest_bvh(geom, ray)
     else:
         t, u, v, prim, valid = _closest_brute(geom, ray)
     prim = jnp.where(valid, prim, 0)

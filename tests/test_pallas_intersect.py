@@ -52,3 +52,35 @@ def test_pallas_respects_mint_maxt():
         table, o, d, jnp.asarray([1e-4]), jnp.asarray([0.5]), interpret=True
     )
     assert not bool(hit[0])
+
+
+def test_pallas_shaded_matches_record():
+    """Fused shading kernel must reproduce ray_intersect's record fields."""
+    from mitsuba_tpu.ops.intersect_pallas import closest_hit_shaded, make_shading_table
+    from mitsuba_tpu.render.intersect import ray_intersect
+
+    msh = random_mesh(7, 80)
+    geom = build_geometry([(msh, 3, 1)], backend="brute")
+    ray = random_rays(8, 600)
+    its = ray_intersect(geom, ray)     # CPU reference path (no pallas)
+    table = make_shading_table(geom)
+    r = closest_hit_shaded(table, ray.o, ray.d, ray.mint, ray.maxt,
+                           interpret=True)
+    hit = np.asarray(its.valid)
+    np.testing.assert_array_equal(hit, np.asarray(r["valid"]))
+    np.testing.assert_allclose(
+        np.asarray(its.t)[hit], np.asarray(r["t"])[hit], rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(its.geo_n)[hit], np.asarray(r["geo_n"])[hit], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(its.sh_n)[hit], np.asarray(r["sh_n"])[hit], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(its.uv)[hit], np.asarray(r["uv"])[hit], atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r["material_id"])[hit], 3
+    )
+    np.testing.assert_array_equal(np.asarray(r["emitter_id"])[hit], 1)
