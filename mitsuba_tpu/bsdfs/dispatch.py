@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from mitsuba_tpu.bsdfs import models as md
 from mitsuba_tpu.bsdfs.table import (
+    CLOTH,
     COMPOSITE,
     DIELECTRIC,
     DIFF_TRANS,
@@ -45,6 +46,7 @@ _MODELS = {
     DIFF_TRANS: (md.difftrans_eval, md.difftrans_pdf, md.difftrans_sample),
     WISCOMBE: (md.wiscombe_eval, md.wiscombe_pdf, md.wiscombe_sample),
     HANRAHAN_KRUEGER: (md.hk_eval, md.hk_pdf, md.hk_sample),
+    CLOTH: (md.cloth_eval, md.cloth_pdf, md.cloth_sample),
 }
 
 _NO_FLIP_KINDS = (DIELECTRIC, ROUGH_GLASS)  # genuinely two-sided already
@@ -59,11 +61,14 @@ def _flip(v, mask):
     return jnp.where(mask[..., None], v * jnp.array([1.0, 1.0, -1.0]), v)
 
 
-def _resolve(p, albedo=None):
-    """Apply per-lane texture-resolved albedo override if given."""
-    if albedo is not None:
+def _resolve(p, albedo=None, uv=None):
+    """Apply per-lane texture-resolved albedo / hit-uv overrides."""
+    if albedo is not None or uv is not None:
         p = dict(p)
+    if albedo is not None:
         p["reflectance"] = albedo
+    if uv is not None:
+        p["_uv"] = uv
     return p
 
 
@@ -79,27 +84,27 @@ def _composite_resolve(table, material_id, u_lobe=None):
     return is_comp, cids, cws
 
 
-def bsdf_eval(table: MaterialTable, material_id, wi, wo, albedo=None):
+def bsdf_eval(table: MaterialTable, material_id, wi, wo, albedo=None, uv=None):
     """fCos for every lane (reference BSDF::fCos); composite rows sum their
     weighted children (reference composite.cpp f())."""
     if table.has_composite:
         is_comp, cids, cws = _composite_resolve(table, material_id)
-        base = _bsdf_eval_leaf(table, material_id, wi, wo, albedo)
+        base = _bsdf_eval_leaf(table, material_id, wi, wo, albedo, uv)
         total = jnp.zeros_like(base)
         for k in range(MAX_COMPOSITE_LOBES):
             child = jnp.where(cids[:, k] >= 0, cids[:, k], 0)
-            val = _bsdf_eval_leaf(table, child, wi, wo, None)
+            val = _bsdf_eval_leaf(table, child, wi, wo, None, uv)
             total = total + jnp.where(
                 (is_comp & (cids[:, k] >= 0))[:, None],
                 cws[:, k][:, None] * val, 0.0,
             )
         return jnp.where(is_comp[:, None], total, base)
-    return _bsdf_eval_leaf(table, material_id, wi, wo, albedo)
+    return _bsdf_eval_leaf(table, material_id, wi, wo, albedo, uv)
 
 
-def _bsdf_eval_leaf(table: MaterialTable, material_id, wi, wo, albedo=None):
+def _bsdf_eval_leaf(table: MaterialTable, material_id, wi, wo, albedo=None, uv=None):
     """fCos for every lane (reference BSDF::fCos)."""
-    p = _resolve(table.gather(material_id), albedo)
+    p = _resolve(table.gather(material_id), albedo, uv)
     fl = _flip_mask(p, wi)
     wi_f, wo_f = _flip(wi, fl), _flip(wo, fl)
     out = jnp.zeros(wi.shape[:-1] + (3,))
@@ -149,7 +154,8 @@ def _bsdf_pdf_leaf(table: MaterialTable, material_id, wi, wo):
     return out
 
 
-def bsdf_sample(table: MaterialTable, material_id, wi, u2, u1, albedo=None):
+def bsdf_sample(table: MaterialTable, material_id, wi, u2, u1, albedo=None,
+                uv=None):
     """Sample wo ~ BSDF.
 
     Opacity masks (reference mask.cpp): with probability 1-opacity the
@@ -162,7 +168,7 @@ def bsdf_sample(table: MaterialTable, material_id, wi, u2, u1, albedo=None):
     if has_mask:
         pass_through = u1 >= opacity
         u1 = jnp.clip(u1 / jnp.maximum(opacity, 1e-6), 0.0, 1.0 - 1e-7)
-    s = _bsdf_sample_dispatch(table, material_id, wi, u2, u1, albedo)
+    s = _bsdf_sample_dispatch(table, material_id, wi, u2, u1, albedo, uv)
     if has_mask:
         wo_pass = -wi
         s = dict(s)
@@ -184,7 +190,8 @@ def _np_min_opacity(table):
         return 1.0
 
 
-def _bsdf_sample_dispatch(table: MaterialTable, material_id, wi, u2, u1, albedo=None):
+def _bsdf_sample_dispatch(table: MaterialTable, material_id, wi, u2, u1,
+                          albedo=None, uv=None):
     """Composite/leaf sampling dispatch."""
     if table.has_composite:
         is_comp, cids, cws = _composite_resolve(table, material_id)
@@ -202,10 +209,10 @@ def _bsdf_sample_dispatch(table: MaterialTable, material_id, wi, u2, u1, albedo=
         child = jnp.where(child >= 0, child, 0)
         eff_id = jnp.where(is_comp, child, material_id)
         eff_u1 = jnp.where(is_comp, u1_re, u1)
-        s = _bsdf_sample_leaf(table, eff_id, wi, u2, eff_u1, albedo)
+        s = _bsdf_sample_leaf(table, eff_id, wi, u2, eff_u1, albedo, uv)
         # composite weight: (w_k * f_child) / (p_k * pdf_child) summed over
         # lobes via full eval/pdf for MIS correctness
-        fcos = bsdf_eval(table, material_id, wi, s["wo"], albedo)
+        fcos = bsdf_eval(table, material_id, wi, s["wo"], albedo, uv)
         pdf = bsdf_pdf(table, material_id, wi, s["wo"])
         w_comp = fcos / jnp.maximum(pdf, 1e-9)[:, None]
         for key, comp_val in (("weight", w_comp), ("pdf", pdf)):
@@ -213,13 +220,14 @@ def _bsdf_sample_dispatch(table: MaterialTable, material_id, wi, u2, u1, albedo=
             s[key] = jnp.where(sel, comp_val, s[key])
         s["valid"] = jnp.where(is_comp, (pdf > 1e-10) & ~s["delta"], s["valid"])
         return s
-    return _bsdf_sample_leaf(table, material_id, wi, u2, u1, albedo)
+    return _bsdf_sample_leaf(table, material_id, wi, u2, u1, albedo, uv)
 
 
-def _bsdf_sample_leaf(table: MaterialTable, material_id, wi, u2, u1, albedo=None):
+def _bsdf_sample_leaf(table: MaterialTable, material_id, wi, u2, u1,
+                      albedo=None, uv=None):
     """Sample wo ~ BSDF; returns the merged per-lane sample dict
     (reference BSDF::sampleCos)."""
-    p = _resolve(table.gather(material_id), albedo)
+    p = _resolve(table.gather(material_id), albedo, uv)
     fl = _flip_mask(p, wi)
     wi_f = _flip(wi, fl)
     out = md._zero_sample(wi)

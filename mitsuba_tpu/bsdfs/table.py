@@ -23,6 +23,7 @@ DIFF_TRANS = 7      # src/bsdfs/difftrans.cpp (diffuse transmitter)
 WISCOMBE = 8        # src/bsdfs/wiscombe.cpp (fork: snow BRDF)
 HANRAHAN_KRUEGER = 9  # src/bsdfs/hanrahan-krueger.cpp
 COMPOSITE = 10      # src/bsdfs/composite.cpp (N weighted lobes)
+CLOTH = 11          # src/bsdfs/irawan.cpp (woven cloth, procedural weave)
 MAX_COMPOSITE_LOBES = 4
 
 KIND_NAMES = {
@@ -37,6 +38,7 @@ KIND_NAMES = {
     WISCOMBE: "wiscombe",
     HANRAHAN_KRUEGER: "hk",
     COMPOSITE: "composite",
+    CLOTH: "irawan",
 }
 
 
@@ -209,6 +211,18 @@ class MaterialBuilder:
         return self._add(
             kind=WISCOMBE, reflectance=tuple(a_const), specular=tuple(xi),
             transmittance=tuple(b_star), alpha_u=g,
+        )
+
+    def irawan(self, warp_kd=(0.3, 0.27, 0.25), weft_kd=(0.6, 0.1, 0.1),
+               ks=(0.2, 0.2, 0.2), alpha_u=0.35, alpha_v=0.08,
+               repeat_u=10.0, repeat_v=10.0, pattern: str = "plain"):
+        """Woven cloth (irawan.cpp capability; procedural plain/twill
+        patterns — see models.py cloth_* for slot mapping)."""
+        return self._add(
+            kind=CLOTH, reflectance=warp_kd, cond_eta=weft_kd, specular=ks,
+            alpha_u=alpha_u, alpha_v=alpha_v,
+            exponent=repeat_u, eta=repeat_v,
+            dist_type=1 if pattern == "twill" else 0,
         )
 
     def composite(self, children, weights):

@@ -110,6 +110,12 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         L = L + jnp.where(esc[:, None], throughput * env * w_env[:, None], 0.0)
 
         active = active & its.valid
+        if cfg.strict_normals:
+            # reference path.cpp:100-104: kill paths where shading and
+            # geometric normals disagree about the viewing side
+            wi_geo = -jnp.sum(its.geo_n * ray.d, axis=-1)
+            wi_sh = its.wi[..., 2]
+            active = active & (wi_geo * wi_sh > 0)
         depth_count = depth_count + active.astype(jnp.int32)
 
         # --- emitter hit (BSDF-sampling MIS side) -----------------------
@@ -139,7 +145,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         )
         wo_local = its.to_local(ds.d)
         fcos = bsdf_eval(scene.materials, its.material_id, its.wi, wo_local,
-                         albedo=albedo)
+                         albedo=albedo, uv=its.uv)
         b_pdf = bsdf_pdf(scene.materials, its.material_id, its.wi, wo_local)
         nee_ok = cont & ds.valid & (ds.pdf > 0)
         # shadow ray (reference Scene::isOccluded); epsilon scales with the
@@ -156,10 +162,13 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         # --- BSDF sampling ----------------------------------------------
         bs = bsdf_sample(
             scene.materials, its.material_id, its.wi,
-            _detach(u_bsdf_2d), _detach(u_lobe), albedo=albedo,
+            _detach(u_bsdf_2d), _detach(u_lobe), albedo=albedo, uv=its.uv,
         )
         wo_world = its.to_world(bs["wo"])
         active = cont & bs["valid"]
+        if cfg.strict_normals:
+            wo_geo = jnp.sum(its.geo_n * wo_world, axis=-1)
+            active = active & (wo_geo * bs["wo"][..., 2] > 0)
 
         # --- Russian roulette (reference path.cpp:196) ------------------
         albedo = jnp.minimum(0.9, jnp.max(_detach(bs["weight"]), axis=-1))

@@ -1,0 +1,31 @@
+"""Progressive preview rendering.
+
+Capability parity with the reference's interactive preview stack (libhw +
+PreviewThread, qtgui/preview.h:40 — VPL/OpenGL or coherent-SSE passes that
+refine while you watch): here the forward renderer simply accumulates
+low-spp passes and hands each refined image to a callback. There is no
+separate GPU path — the production kernels ARE the preview (SURVEY.md §1/L2
+notes this is the intended TPU translation).
+"""
+from __future__ import annotations
+
+import time
+
+from mitsuba_tpu.integrators.path import PathConfig, render
+from mitsuba_tpu.utils.checkpoint import FilmCheckpoint
+
+
+def progressive_render(scene, cfg: PathConfig, n_passes: int = 16,
+                       callback=None, seed: int = 0,
+                       checkpoint: FilmCheckpoint | None = None):
+    """Accumulate `n_passes` renders of cfg.spp each; callback(image, i,
+    spp_total, dt) fires after every pass. Resumes from `checkpoint`."""
+    fc = checkpoint or FilmCheckpoint(scene.height, scene.width)
+    start_pass = fc.count // max(cfg.spp, 1)
+    for i in range(start_pass, start_pass + n_passes):
+        t0 = time.time()
+        img, _ = render(scene, cfg, seed=seed * 7919 + i)
+        fc.add_pass(img, cfg.spp)
+        if callback is not None:
+            callback(fc.image, i, fc.count, time.time() - t0)
+    return fc.image, fc

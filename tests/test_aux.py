@@ -87,3 +87,36 @@ def test_film_checkpoint(tmp_path):
     fc2.add_pass(img2, 8)
     np.testing.assert_allclose(fc2.image, 2.0)
     assert fc2.count == 16
+
+
+def test_progressive_preview_accumulates():
+    from mitsuba_tpu.integrators import PathConfig, render
+    from mitsuba_tpu.render.preview import progressive_render
+    from mitsuba_tpu.render.scene import cornell_box
+
+    scene = cornell_box(12, 12)
+    cfg = PathConfig(max_depth=2, spp=2, remat=False)
+    frames = []
+    img, fc = progressive_render(
+        scene, cfg, n_passes=3,
+        callback=lambda im, i, n, dt: frames.append((i, n)),
+        seed=1,
+    )
+    assert [n for _, n in frames] == [2, 4, 6]
+    # accumulated result equals the mean of the individual pass renders
+    imgs = [np.asarray(render(scene, cfg, seed=1 * 7919 + i)[0]) for i in range(3)]
+    np.testing.assert_allclose(np.asarray(img), np.mean(imgs, axis=0), atol=1e-5)
+    # resume: 2 more passes starting from the checkpoint
+    img2, fc2 = progressive_render(scene, cfg, n_passes=2, checkpoint=fc, seed=1)
+    assert fc2.count == 10
+
+
+def test_strict_normals_runs():
+    from mitsuba_tpu.integrators import PathConfig, render
+    from mitsuba_tpu.render.scene import cornell_box
+
+    scene = cornell_box(10, 10)
+    img, _ = render(scene, PathConfig(max_depth=3, spp=2, remat=False,
+                                      strict_normals=True), seed=0)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and a.mean() > 0
