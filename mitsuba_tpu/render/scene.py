@@ -152,3 +152,100 @@ def cornell_box(width=256, height=256, backend="brute") -> Scene:
     )
     b.set_camera(cam, width, height)
     return b.build(backend=backend)
+
+
+def cornell_box_specular(width=256, height=256, backend="brute") -> Scene:
+    """BASELINE.json config 2: Cornell box with a mirror tall block, a glass
+    sphere and a rough-conductor short block — delta + microfacet MIS."""
+    from mitsuba_tpu.core import microfacet as mf
+
+    b = SceneBuilder()
+    white = b.materials.lambertian((0.725, 0.71, 0.68))
+    red = b.materials.lambertian((0.63, 0.065, 0.05))
+    green = b.materials.lambertian((0.14, 0.45, 0.091))
+    mirror = b.materials.mirror((0.95, 0.95, 0.95))
+    glass = b.materials.dielectric(int_ior=1.5)
+    metal = b.materials.rough_conductor(alpha=0.15, dist=mf.GGX)
+    light_mat = b.materials.lambertian((0.0, 0.0, 0.0))
+
+    mq = mesh_mod.make_quad
+    b.add_shape(mq([552.8, 0, 0], [0, 0, 0], [0, 0, 559.2], [549.6, 0, 559.2]), white)
+    b.add_shape(mq([556, 548.8, 0], [556, 548.8, 559.2], [0, 548.8, 559.2], [0, 548.8, 0]), white)
+    b.add_shape(mq([549.6, 0, 559.2], [0, 0, 559.2], [0, 548.8, 559.2], [556, 548.8, 559.2]), white)
+    b.add_shape(mq([0, 0, 559.2], [0, 0, 0], [0, 548.8, 0], [0, 548.8, 559.2]), green)
+    b.add_shape(mq([552.8, 0, 0], [549.6, 0, 559.2], [556, 548.8, 559.2], [556, 548.8, 0]), red)
+
+    # rough-metal short block
+    for q in [
+        mq([130, 165, 65], [82, 165, 225], [240, 165, 272], [290, 165, 114]),
+        mq([290, 0, 114], [290, 165, 114], [240, 165, 272], [240, 0, 272]),
+        mq([130, 0, 65], [130, 165, 65], [290, 165, 114], [290, 0, 114]),
+        mq([82, 0, 225], [82, 165, 225], [130, 165, 65], [130, 0, 65]),
+        mq([240, 0, 272], [240, 165, 272], [82, 165, 225], [82, 0, 225]),
+    ]:
+        b.add_shape(q, metal)
+    # mirror tall block
+    for q in [
+        mq([423, 330, 247], [265, 330, 296], [314, 330, 456], [472, 330, 406]),
+        mq([423, 0, 247], [423, 330, 247], [472, 330, 406], [472, 0, 406]),
+        mq([472, 0, 406], [472, 330, 406], [314, 330, 456], [314, 0, 456]),
+        mq([314, 0, 456], [314, 330, 456], [265, 330, 296], [265, 0, 296]),
+        mq([265, 0, 296], [265, 330, 296], [423, 330, 247], [423, 0, 247]),
+    ]:
+        b.add_shape(q, mirror)
+    # glass sphere floating between the blocks
+    b.add_shape(mesh_mod.make_sphere_mesh([160, 280, 170], 70.0, 32, 64), glass)
+
+    light = mesh_mod.make_quad([343, 548.7, 227], [343, 548.7, 332], [213, 548.7, 332], [213, 548.7, 227])
+    b.add_area_emitter_shape(light, light_mat, (18.4, 15.6, 8.0))
+
+    cam = make_perspective(
+        tf.look_at([278, 273, -800], [278, 273, 0], [0, 1, 0]),
+        fov_deg=39.3077, aspect=width / height,
+    )
+    b.set_camera(cam, width, height)
+    return b.build(backend=backend)
+
+
+def textured_mesh_scene(width=256, height=256, mesh_path=None,
+                        backend="bvh") -> Scene:
+    """BASELINE.json config 3: a ~100k-triangle mesh (the reference's
+    test bunny, tessellation-boosted) with a checkerboard-textured floor
+    under a Preetham sky envmap."""
+    import numpy as np
+
+    b = SceneBuilder()
+    tex = b.textures.checkerboard(bright=(0.7, 0.7, 0.7), dark=(0.2, 0.2, 0.25),
+                                  uv_scale=(8.0, 8.0))
+    floor_mat = b.materials.lambertian((1.0, 1.0, 1.0), tex_id=tex)
+    body_mat = b.materials.phong(diffuse=(0.4, 0.3, 0.2), specular=(0.3,) * 3,
+                                 exponent=40.0)
+    if mesh_path is None:
+        mesh_path = "/root/reference/data/tests/bunny.ply"
+    try:
+        from mitsuba_tpu.io.meshio import load_ply
+
+        body = load_ply(mesh_path)
+        # normalize into the unit box above the floor
+        v = body.vertices
+        center = (v.max(0) + v.min(0)) / 2
+        scale = 1.6 / max(v.max(0) - v.min(0))
+        body = body.transformed(
+            np.asarray(tf.compose(tf.translate([0, -float((v.min(0)[1]-center[1])*scale), 0]),
+                                  tf.scale([scale] * 3),
+                                  tf.translate(list(-center))))
+        )
+    except FileNotFoundError:
+        body = mesh_mod.make_sphere_mesh([0, 0.8, 0], 0.8, 160, 320)
+    b.add_shape(body, body_mat)
+    b.add_shape(
+        mesh_mod.make_quad([-6, 0, -6], [-6, 0, 6], [6, 0, 6], [6, 0, -6]),
+        floor_mat,
+    )
+    b.emitters.sky(turbidity=3.0, sun_dir=(0.35, 0.6, -0.5), scale=1.0)
+    cam = make_perspective(
+        tf.look_at([0, 1.4, -3.2], [0, 0.7, 0], [0, 1, 0]),
+        fov_deg=40.0, aspect=width / height,
+    )
+    b.set_camera(cam, width, height)
+    return b.build(backend=backend)
