@@ -54,3 +54,18 @@ def test_training_step_sharded():
         np.asarray(new_params["reflectance"]) - np.asarray(params["reflectance"])
     )
     assert delta.max() > 0, "no gradient reached the material parameters"
+
+
+def test_scaling_harness_runs():
+    """Weak-scaling measurement mechanism on virtual devices (real numbers
+    need a pod; this validates plumbing + reports are sane)."""
+    from mitsuba_tpu.parallel.scaling import measure_scaling, scaling_efficiency
+
+    scene = cornell_box(16, 16)
+    cfg = PathConfig(max_depth=2, spp=2, remat=False)
+    res = measure_scaling(scene, cfg, device_counts=[1, 2], rows_per_device=16,
+                          rounds=1)
+    eff = scaling_efficiency(res)
+    assert set(res) == {1, 2}
+    assert all(v > 0 for v in res.values())
+    assert 0 < eff[2]  # virtual-CPU efficiency is not meaningful, just finite
