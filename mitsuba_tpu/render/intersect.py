@@ -48,6 +48,12 @@ class GeometryTables:
     bvh_first: jnp.ndarray  # (M,)
     bvh_count: jnp.ndarray  # (M,)
     bvh_skip: jnp.ndarray   # (M,)
+    # packed single-gather layouts (ints stored as exact f32 < 2^24):
+    bvh_packed: jnp.ndarray = None   # (M, 9) bmin|bmax|first|count|skip
+    tri_packed: jnp.ndarray = None   # (T, 9) v0|e1|e2
+    # 14-records-per-128-lane-row layouts for the Pallas packet kernel
+    bvh_rows: jnp.ndarray = None     # (ceil(M/14), 128)
+    tri_rows: jnp.ndarray = None     # (ceil(T/14), 128)
     backend: str = static_field(default="brute")
 
     @property
@@ -130,8 +136,30 @@ def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
         bvh_first=jnp.asarray(bvh.first),
         bvh_count=jnp.asarray(bvh.count),
         bvh_skip=jnp.asarray(bvh.skip),
+        bvh_packed=jnp.asarray(_node_pack := np.concatenate(
+            [bvh.bounds_min, bvh.bounds_max,
+             bvh.first[:, None].astype(np.float32),
+             bvh.count[:, None].astype(np.float32),
+             bvh.skip[:, None].astype(np.float32)], axis=1
+        )),
+        tri_packed=jnp.asarray(_tri_pack := np.concatenate(
+            [tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]],
+            axis=1,
+        ).astype(np.float32)),
+        bvh_rows=jnp.asarray(_pack_rows_np(_node_pack)),
+        tri_rows=jnp.asarray(_pack_rows_np(_tri_pack)),
         backend=backend,
     )
+
+
+def _pack_rows_np(table: np.ndarray) -> np.ndarray:
+    """Host-side 14-records-per-row packing (ops/bvh_pallas.py layout)."""
+    r = table.shape[0]
+    per = 14
+    rows = -(-r // per)
+    out = np.zeros((rows, 128), np.float32)
+    out[:, : per * 9].reshape(rows * per, 9)[:r] = table
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -206,9 +234,14 @@ def _slab_test(bmin, bmax, o, inv_d, mint, tmax):
 
 
 def _closest_bvh(geom: GeometryTables, ray: Ray):
+    """Packed-row traversal: ONE (N,9) node gather + MAX_LEAF (N,9) triangle
+    gathers per step (the naive version did ~10 separate (N,) gathers per
+    step — gathers dominate TPU cost)."""
     n = ray.o.shape[0]
     m_nodes = geom.bvh_min.shape[0]
     inv_d = m.safe_rcp(ray.d)
+    nodes = geom.bvh_packed
+    tris = geom.tri_packed
 
     def cond(state):
         node, _, _, _, _ = state
@@ -217,20 +250,20 @@ def _closest_bvh(geom: GeometryTables, ray: Ray):
     def body(state):
         node, t_best, uv_best, prim_best, valid = state
         nd = jnp.minimum(node, m_nodes - 1)
-        bmin = geom.bvh_min[nd]
-        bmax = geom.bvh_max[nd]
-        count = geom.bvh_count[nd]
-        first = geom.bvh_first[nd]
-        skip = geom.bvh_skip[nd]
+        row = nodes[nd]                       # (N, 9): one gather
+        bmin, bmax = row[:, 0:3], row[:, 3:6]
+        first = row[:, 6].astype(jnp.int32)
+        count = row[:, 7].astype(jnp.int32)
+        skip = row[:, 8].astype(jnp.int32)
         active = node < m_nodes
         box_hit = active & _slab_test(bmin, bmax, ray.o, inv_d, ray.mint, t_best)
         is_leaf = count > 0
-        # test up to MAX_LEAF triangles
         do_tris = box_hit & is_leaf
         for k in range(MAX_LEAF):
             ti = jnp.minimum(first + k, geom.n_tris - 1)
+            trow = tris[ti]                   # (N, 9): one gather
             t, u, v, hit = _mt_hit(
-                ray.o, ray.d, geom.v0[ti], geom.e1[ti], geom.e2[ti],
+                ray.o, ray.d, trow[:, 0:3], trow[:, 3:6], trow[:, 6:9],
                 ray.mint, jnp.minimum(ray.maxt, t_best),
             )
             hit = hit & do_tris & (k < count)
@@ -258,6 +291,8 @@ def _any_bvh(geom: GeometryTables, ray: Ray):
     n = ray.o.shape[0]
     m_nodes = geom.bvh_min.shape[0]
     inv_d = m.safe_rcp(ray.d)
+    nodes = geom.bvh_packed
+    tris = geom.tri_packed
 
     def cond(state):
         node, occluded = state
@@ -266,11 +301,11 @@ def _any_bvh(geom: GeometryTables, ray: Ray):
     def body(state):
         node, occluded = state
         nd = jnp.minimum(node, m_nodes - 1)
-        bmin = geom.bvh_min[nd]
-        bmax = geom.bvh_max[nd]
-        count = geom.bvh_count[nd]
-        first = geom.bvh_first[nd]
-        skip = geom.bvh_skip[nd]
+        row = nodes[nd]
+        bmin, bmax = row[:, 0:3], row[:, 3:6]
+        first = row[:, 6].astype(jnp.int32)
+        count = row[:, 7].astype(jnp.int32)
+        skip = row[:, 8].astype(jnp.int32)
         active = (node < m_nodes) & ~occluded
         box_hit = active & _slab_test(bmin, bmax, ray.o, inv_d, ray.mint, ray.maxt)
         is_leaf = count > 0
@@ -278,8 +313,10 @@ def _any_bvh(geom: GeometryTables, ray: Ray):
         hit_any = jnp.zeros_like(occluded)
         for k in range(MAX_LEAF):
             ti = jnp.minimum(first + k, geom.n_tris - 1)
+            trow = tris[ti]
             _, _, _, hit = _mt_hit(
-                ray.o, ray.d, geom.v0[ti], geom.e1[ti], geom.e2[ti], ray.mint, ray.maxt
+                ray.o, ray.d, trow[:, 0:3], trow[:, 3:6], trow[:, 6:9],
+                ray.mint, ray.maxt,
             )
             hit_any = hit_any | (hit & do_tris & (k < count))
         occluded = occluded | hit_any
@@ -331,7 +368,17 @@ def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
             shape_id=jnp.where(valid, r["shape_id"], -1),
         )
     if geom.backend == "bvh":
-        t, u, v, prim, valid = _closest_bvh(geom, ray)
+        if _use_pallas():
+            from mitsuba_tpu.ops import bvh_pallas as bp
+
+            t, u, v, prim, valid = bp.bvh_closest(
+                geom.bvh_rows, geom.tri_rows, ray.o, ray.d, ray.mint,
+                ray.maxt, n_nodes=geom.bvh_min.shape[0],
+                n_tris=geom.n_tris,
+            )
+            prim = jnp.where(valid, prim, 0)
+        else:
+            t, u, v, prim, valid = _closest_bvh(geom, ray)
     else:
         t, u, v, prim, valid = _closest_brute(geom, ray)
     prim = jnp.where(valid, prim, 0)
@@ -366,6 +413,14 @@ def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
     """Any-hit (shadow ray) query → bool occlusion mask (reference
     scene.h:241 isOccluded equivalent)."""
     if geom.backend == "bvh":
+        if _use_pallas():
+            from mitsuba_tpu.ops import bvh_pallas as bp
+
+            return bp.bvh_any(
+                geom.bvh_rows, geom.tri_rows, ray.o, ray.d, ray.mint,
+                ray.maxt, n_nodes=geom.bvh_min.shape[0],
+                n_tris=geom.n_tris,
+            )
         return _any_bvh(geom, ray)
     if _use_pallas():
         from mitsuba_tpu.ops import intersect_pallas as ip

@@ -84,3 +84,28 @@ def test_pallas_shaded_matches_record():
         np.asarray(r["material_id"])[hit], 3
     )
     np.testing.assert_array_equal(np.asarray(r["emitter_id"])[hit], 1)
+
+
+def test_packet_bvh_matches_oracle():
+    """Packet-traversal kernel vs the XLA BVH walk (interpret mode)."""
+    from mitsuba_tpu.ops.bvh_pallas import bvh_any, bvh_closest
+    from mitsuba_tpu.render.intersect import _any_bvh, _closest_bvh
+
+    msh = random_mesh(11, 300)
+    geom = build_geometry([(msh, 0, -1)], backend="bvh")
+    ray = random_rays(12, 800)
+    t0, u0, v0, p0, h0 = _closest_bvh(geom, ray)
+    t1, u1, v1, p1, h1 = bvh_closest(
+        geom.bvh_packed, geom.tri_packed, ray.o, ray.d, ray.mint, ray.maxt,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    hit = np.asarray(h0)
+    np.testing.assert_allclose(
+        np.asarray(t0)[hit], np.asarray(t1)[hit], rtol=3e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(p0)[hit], np.asarray(p1)[hit])
+    a0 = _any_bvh(geom, ray)
+    a1 = bvh_any(geom.bvh_packed, geom.tri_packed, ray.o, ray.d, ray.mint,
+                 ray.maxt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
