@@ -50,6 +50,8 @@ class PathConfig:
     remat: bool = True          # checkpoint each bounce for reverse-mode AD
     strict_normals: bool = False
     rfilter: str = "box"        # reconstruction filter (render/rfilter.py)
+    sort_rays: bool = False     # Morton-sort rays per bounce (packet-BVH
+                                # coherence for large scenes)
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -61,6 +63,41 @@ def mi_weight(pdf_a, pdf_b):
 
 def _detach(x):
     return jax.lax.stop_gradient(x)
+
+
+def _morton_keys(o, d, bmin, bmax):
+    """Sort key: 3x10-bit Morton code of the origin within the scene bbox,
+    with the direction octant in the low bits — keeps packet tiles spatially
+    and directionally coherent."""
+    q = jnp.clip((o - bmin) / jnp.maximum(bmax - bmin, 1e-6) * 1023.0, 0, 1023)
+    q = q.astype(jnp.int32)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32)
+        + 2 * (d[:, 1] > 0).astype(jnp.int32)
+        + 4 * (d[:, 2] > 0).astype(jnp.int32)
+    )
+    return (morton << 3) | octant
+
+
+def _sorted_intersect(scene, ray):
+    """Sort rays by Morton key, intersect, un-permute the record."""
+    bmin = scene.geom.bvh_min[0]
+    bmax = scene.geom.bvh_max[0]
+    keys = _morton_keys(_detach(ray.o), _detach(ray.d), bmin, bmax)
+    order = jnp.argsort(keys)
+    inv = jnp.argsort(order)
+    ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
+    its_s = ray_intersect(scene.geom, ray_s)
+    return jax.tree_util.tree_map(lambda x: x[inv], its_s)
 
 
 def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
@@ -100,7 +137,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
          rays_traced) = carry
         (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr) = xs
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
-        its = ray_intersect(scene.geom, ray)
+        its = (_sorted_intersect(scene, ray) if cfg.sort_rays
+               else ray_intersect(scene.geom, ray))
 
         # --- escaped rays: background luminaire with MIS ----------------
         esc = active & ~its.valid

@@ -153,12 +153,19 @@ def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
 
 
 def _pack_rows_np(table: np.ndarray) -> np.ndarray:
-    """Host-side 14-records-per-row packing (ops/bvh_pallas.py layout)."""
+    """Host-side 14-records-per-row packing (ops/bvh_pallas.py layout).
+
+    NB: build the (rows*per, 9) buffer first and reshape the CONTIGUOUS
+    array — assigning through a sliced view's reshape silently writes to a
+    temporary (this exact bug once shipped an all-zero node table, which
+    made the packet kernel spin forever and crash the TPU worker)."""
     r = table.shape[0]
     per = 14
     rows = -(-r // per)
+    flat = np.zeros((rows * per, 9), np.float32)
+    flat[:r] = table
     out = np.zeros((rows, 128), np.float32)
-    out[:, : per * 9].reshape(rows * per, 9)[:r] = table
+    out[:, : per * 9] = flat.reshape(rows, per * 9)
     return out
 
 

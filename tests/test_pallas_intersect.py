@@ -109,3 +109,20 @@ def test_packet_bvh_matches_oracle():
     a1 = bvh_any(geom.bvh_packed, geom.tri_packed, ray.o, ray.d, ray.mint,
                  ray.maxt, interpret=True)
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_host_row_packing_matches_device_packing():
+    """GeometryTables' host-side packed rows must equal ops.bvh_pallas'
+    traceable pack_records (an all-zero host packing once crashed the TPU
+    worker via an infinite traversal loop)."""
+    from mitsuba_tpu.ops.bvh_pallas import pack_records
+
+    msh = random_mesh(13, 150)
+    geom = build_geometry([(msh, 0, -1)], backend="bvh")
+    np.testing.assert_array_equal(
+        np.asarray(geom.bvh_rows), np.asarray(pack_records(geom.bvh_packed))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(geom.tri_rows), np.asarray(pack_records(geom.tri_packed))
+    )
+    assert np.abs(np.asarray(geom.bvh_rows)).sum() > 0
