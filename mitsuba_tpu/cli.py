@@ -27,7 +27,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="mitsuba_tpu", description="TPU-native differentiable renderer"
     )
-    ap.add_argument("scenes", nargs="+", help="scene XML file(s)")
+    ap.add_argument("scenes", nargs="*", help="scene XML file(s)")
+    ap.add_argument("--server", action="store_true",
+                    help="run as a network render node (mtssrv analog)")
+    ap.add_argument("--port", type=int, default=None,
+                    help="server listen port (default 7554)")
+    ap.add_argument("--listen-stdio", action="store_true",
+                    help="serve one session over stdin/stdout "
+                         "(mtssrv -ls SSH-tunnel mode)")
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("-D", "--define", action="append", default=[],
                     metavar="KEY=VALUE")
@@ -47,6 +54,22 @@ def main(argv=None):
     ap.add_argument("-r", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("-j", type=int, default=1, help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
+
+    if args.server or args.listen_stdio:
+        from mitsuba_tpu.parallel.server import (
+            DEFAULT_PORT, RenderServer, serve_pipe,
+        )
+
+        if args.listen_stdio:
+            serve_pipe(sys.stdin.buffer, sys.stdout.buffer)
+            return 0
+        srv = RenderServer(port=args.port or DEFAULT_PORT)
+        if not args.quiet:
+            print(f"mitsuba_tpu render node listening on port {srv.port}")
+        srv.serve_forever()
+        return 0
+    if not args.scenes:
+        ap.error("scene XML file(s) required (or --server)")
 
     params = {}
     for d in args.define:

@@ -62,18 +62,28 @@ def _make_cylinder_mesh(p1, p2, radius, n_phi=64):
     )
 
 
+def _resolve(base_dir, name):
+    """Scene-relative first, then the process search path (reference
+    FileResolver semantics, fresolver.h:40)."""
+    from mitsuba_tpu.io.resolver import default_resolver
+
+    r = default_resolver().clone()
+    r.prepend(base_dir)
+    return r.resolve(name)
+
+
 def load_shape_mesh(shape_node, base_dir):
     t = shape_node["type"]
     p = shape_node["props"]
     if t == "obj":
-        mesh = meshio.load_obj(os.path.join(base_dir, p["filename"]))
+        mesh = meshio.load_obj(_resolve(base_dir, p["filename"]))
         if p.get("faceNormals", False):
             mesh.normals = None
     elif t == "ply":
-        mesh = meshio.load_ply(os.path.join(base_dir, p["filename"]))
+        mesh = meshio.load_ply(_resolve(base_dir, p["filename"]))
     elif t == "serialized":
         mesh = meshio.load_serialized(
-            os.path.join(base_dir, p["filename"]), int(p.get("shapeIndex", 0))
+            _resolve(base_dir, p["filename"]), int(p.get("shapeIndex", 0))
         )
     elif t == "sphere":
         center = p.get("center", (0.0, 0.0, 0.0))
@@ -91,13 +101,13 @@ def load_shape_mesh(shape_node, base_dir):
         from mitsuba_tpu.io.hairio import load_hair
 
         mesh = load_hair(
-            os.path.join(base_dir, p["filename"]),
+            _resolve(base_dir, p["filename"]),
             radius=float(p.get("radius", 0.05)),
         )
     elif t == "hspan":
         from mitsuba_tpu.io.hairio import load_hspan
 
-        mesh = load_hspan(os.path.join(base_dir, p["filename"]))
+        mesh = load_hspan(_resolve(base_dir, p["filename"]))
     else:
         raise ValueError(f"unsupported shape type '{t}'")
     to_world = p.get("toWorld")

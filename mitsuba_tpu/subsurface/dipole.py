@@ -171,3 +171,48 @@ def dipole_lo(cache: DipoleCache, x, wo_cos, chunk: int = 512):
     mo, _ = jax.lax.scan(step, acc0, (pts_c, irr_c))
     ft = 1.0 - fresnel(wo_cos, jnp.ones_like(p.eta), p.eta)
     return mo * cache.area * (ft * m.INV_PI)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Profile variants: multipole (thin slabs) and adipole (anisotropic)
+# (reference src/subsurface/multipole.cpp, adipole.cpp — both share the
+# sample-point machinery above with a different Rd)
+# ---------------------------------------------------------------------------
+
+def multipole_rd(p: DipoleParams, r, thickness: float, n_poles: int = 3):
+    """Thin-slab multipole Rd: mirror image sources across both slab
+    boundaries (Donner & Jensen 2005; reference multipole.cpp).
+
+    thickness: slab thickness in the same units as r."""
+    r = jnp.maximum(r, 1e-4)[..., None]
+    d_slab = thickness + p.zv - p.zr   # effective extrapolated slab depth
+    total = jnp.zeros(r.shape[:-1] + (3,))
+    for i in range(-n_poles, n_poles + 1):
+        zri = 2.0 * i * d_slab + p.zr
+        zvi = 2.0 * i * d_slab - p.zv
+        dr = jnp.sqrt(r * r + zri ** 2)
+        dv = jnp.sqrt(r * r + zvi ** 2)
+        # signed depths: for i=0, zvi = -zv so the -c2 term reduces to the
+        # dipole's +zv virtual-source contribution
+        c1 = zri * (p.sigma_tr + 1.0 / dr)
+        c2 = zvi * (p.sigma_tr + 1.0 / dv)
+        total = total + (p.alpha_p / (4.0 * jnp.pi)) * (
+            c1 * jnp.exp(-p.sigma_tr * dr) / (dr * dr)
+            - c2 * jnp.exp(-p.sigma_tr * dv) / (dv * dv)
+        )
+    return jnp.maximum(total, 0.0)
+
+
+def adipole_rd(p: DipoleParams, r_vec, aniso_dir, aniso_ratio: float = 2.0):
+    """Anisotropic dipole (fork's adipole.cpp capability): the diffusion
+    length differs along a preferred surface direction — distances are
+    measured in a stretched metric.
+
+    r_vec: (..., 3) surface offset vectors (not just radii);
+    aniso_dir: unit direction of slower diffusion."""
+    along = jnp.sum(r_vec * aniso_dir, axis=-1)
+    perp = r_vec - along[..., None] * aniso_dir
+    r_eff = jnp.sqrt(
+        (along / aniso_ratio) ** 2 + jnp.sum(perp * perp, axis=-1)
+    )
+    return dipole_rd(p, r_eff)

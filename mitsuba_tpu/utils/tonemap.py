@@ -4,15 +4,21 @@ from __future__ import annotations
 
 import numpy as np
 
-from mitsuba_tpu.core.spectrum import to_srgb
-import jax.numpy as jnp
+
+def _srgb_np(x):
+    """sRGB OETF, pure numpy — tonemapping is host-side post-processing
+    and must not initialize a device backend (core/spectrum.py has the
+    jnp twin for on-device use)."""
+    x = np.clip(x, 0.0, 1.0)
+    return np.where(x <= 0.0031308, 12.92 * x,
+                    1.055 * np.power(np.maximum(x, 1e-12), 1 / 2.4) - 0.055)
 
 
 def tonemap(img, exposure_ev: float = 0.0, gamma: float = -1.0):
     """HDR -> LDR. gamma=-1 means sRGB curve (reference tonemap.cpp)."""
     img = np.asarray(img, np.float32) * (2.0 ** exposure_ev)
     if gamma == -1.0:
-        out = np.asarray(to_srgb(jnp.asarray(img)))
+        out = _srgb_np(img)
     else:
         out = np.clip(img, 0, 1) ** (1.0 / gamma)
     return (out * 255 + 0.5).astype(np.uint8)

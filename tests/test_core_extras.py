@@ -154,3 +154,51 @@ def test_hashgrid_gather_matches_bruteforce():
     expect = (d <= r)[..., None] * payload[None]
     expect = expect.sum(1)
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Perlin noise (reference src/librender/noise.cpp)
+# ---------------------------------------------------------------------------
+
+def test_perlin_range_and_zero_mean():
+    from mitsuba_tpu.core.noise import perlin_noise
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.uniform(-50, 50, size=(20000, 3)), jnp.float32)
+    v = np.asarray(perlin_noise(p))
+    assert np.isfinite(v).all()
+    assert np.abs(v).max() <= 1.5          # bounded
+    assert abs(v.mean()) < 0.02            # zero-mean
+    assert v.std() > 0.05                  # not degenerate
+
+
+def test_perlin_zero_at_lattice():
+    """Gradient noise vanishes exactly at integer lattice points."""
+    from mitsuba_tpu.core.noise import perlin_noise
+
+    p = jnp.asarray([[0, 0, 0], [1, 2, 3], [-4, 7, 11]], jnp.float32)
+    np.testing.assert_allclose(np.asarray(perlin_noise(p)), 0.0, atol=1e-6)
+
+
+def test_perlin_smooth():
+    """Small input perturbations produce small output changes."""
+    from mitsuba_tpu.core.noise import perlin_noise
+
+    p = jnp.asarray([[0.3, 0.7, 0.1]], jnp.float32)
+    a = float(perlin_noise(p)[0])
+    b = float(perlin_noise(p + 1e-3)[0])
+    assert abs(a - b) < 0.02
+
+
+def test_fbm_and_turbulence():
+    from mitsuba_tpu.core.noise import fbm, turbulence
+
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.uniform(-10, 10, size=(1000, 3)), jnp.float32)
+    f = np.asarray(fbm(p, omega=0.5, max_octaves=6))
+    t = np.asarray(turbulence(p, omega=0.5, max_octaves=6))
+    assert np.isfinite(f).all() and np.isfinite(t).all()
+    assert (t >= 0).all()                  # turbulence sums |noise|
+    assert t.std() > 0 and f.std() > 0
+    # turbulence >= |fbm| is not an identity, but both share scale
+    assert t.mean() > 0.1

@@ -70,3 +70,39 @@ def test_dipole_translucency():
     assert lo_c > lo_k  # more surrounding material near the center
     # physical sanity: Lo below the incident radiance scale
     assert lo_c < 5.0
+
+
+def test_multipole_thick_slab_converges_to_dipole():
+    """For a very thick slab the multipole sum reduces to the dipole."""
+    from mitsuba_tpu.subsurface import multipole_rd
+
+    p = make_dipole((2.0,) * 3, (0.1,) * 3)
+    r = jnp.linspace(0.05, 3.0, 50)
+    d = np.asarray(dipole_rd(p, r))
+    m = np.asarray(multipole_rd(p, r, thickness=100.0, n_poles=3))
+    np.testing.assert_allclose(m, d, rtol=1e-3, atol=1e-7)
+
+
+def test_multipole_thin_slab_transmits():
+    """A thin slab reflects LESS than the half-space dipole (light escapes
+    through the back)."""
+    from mitsuba_tpu.subsurface import multipole_rd
+
+    p = make_dipole((2.0,) * 3, (0.05,) * 3)
+    r = jnp.linspace(0.05, 2.0, 40)
+    thick = np.asarray(multipole_rd(p, r, thickness=100.0)).sum()
+    thin = np.asarray(multipole_rd(p, r, thickness=0.3)).sum()
+    assert thin < thick
+
+
+def test_adipole_anisotropy():
+    """Diffusion extends farther along the anisotropy axis."""
+    from mitsuba_tpu.subsurface import adipole_rd
+
+    p = make_dipole((2.0,) * 3, (0.1,) * 3)
+    axis = jnp.asarray([1.0, 0.0, 0.0])
+    r_along = jnp.asarray([[1.0, 0.0, 0.0]])
+    r_perp = jnp.asarray([[0.0, 1.0, 0.0]])
+    v_along = float(adipole_rd(p, r_along, axis, aniso_ratio=2.0)[0, 0])
+    v_perp = float(adipole_rd(p, r_perp, axis, aniso_ratio=2.0)[0, 0])
+    assert v_along > v_perp

@@ -193,3 +193,66 @@ def test_cornell_xml_matches_programmatic():
     # material/lane ordering -> means must agree statistically
     assert abs(ix.mean() - ip.mean()) / ip.mean() < 0.05
     assert np.isfinite(ix).all()
+
+
+def test_file_resolver(tmp_path, monkeypatch):
+    """FileResolver parity (reference fresolver.h:40): search-path order,
+    absolute pass-through, and MITSUBA_TPU_PATH pickup."""
+    import os
+
+    from mitsuba_tpu.io import resolver as R
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    (d2 / "mesh.obj").write_text("o x\n")
+    r = R.FileResolver([str(d1), str(d2)])
+    assert r.resolve("mesh.obj") == str(d2 / "mesh.obj")
+    (d1 / "mesh.obj").write_text("o y\n")
+    assert r.resolve("mesh.obj") == str(d1 / "mesh.obj")  # order matters
+    assert r.resolve("absent.obj") == "absent.obj"        # fallback
+    absp = str(d2 / "mesh.obj")
+    assert r.resolve(absp) == absp                        # absolute untouched
+    r2 = r.clone(); r2.prepend(str(d2))
+    assert r2.resolve("mesh.obj") == str(d2 / "mesh.obj")
+    assert r.paths[0] == str(d1)                          # clone is detached
+    # env search path feeds the default resolver
+    monkeypatch.setenv("MITSUBA_TPU_PATH", str(d2))
+    R._default = None
+    assert R.default_resolver().resolve("mesh.obj") == str(d2 / "mesh.obj")
+    R._default = None
+
+
+def test_xml_mesh_found_via_search_path(tmp_path, monkeypatch):
+    """A scene whose meshes are NOT next to the XML still loads when the
+    mesh dir is on MITSUBA_TPU_PATH."""
+    import os
+    import shutil
+
+    from mitsuba_tpu.io import resolver as R
+    from mitsuba_tpu.io.xml import load_scene_string
+
+    meshdir = tmp_path / "assets"
+    meshdir.mkdir()
+    src = os.path.join(os.path.dirname(__file__), "..", "scenes", "meshes",
+                       "cbox_walls.obj")
+    shutil.copy(src, meshdir / "walls.obj")
+    monkeypatch.setenv("MITSUBA_TPU_PATH", str(meshdir))
+    R._default = None
+    xml = """<scene>
+      <camera type="perspective">
+        <transform name="toWorld">
+          <lookAt ox="0" oy="1" oz="4" tx="0" ty="1" tz="0" ux="0" uy="1" uz="0"/>
+        </transform>
+        <film type="exrfilm">
+          <integer name="width" value="4"/><integer name="height" value="4"/>
+        </film>
+      </camera>
+      <shape type="obj">
+        <string name="filename" value="walls.obj"/>
+        <bsdf type="lambertian"/>
+      </shape>
+    </scene>"""
+    scene, cfg = load_scene_string(xml, base_dir=str(tmp_path))
+    assert scene.geom.v0.shape[0] > 0
+    R._default = None
