@@ -33,6 +33,7 @@ class TextureTable:
     image_slot: jnp.ndarray    # (K,) index into images tuple, -1 if none
     images: tuple = ()         # tuple of (H,W,3) float arrays (pytree leaves)
     wrap_clamp: jnp.ndarray = None  # (K,) bool: clamp instead of repeat
+    mips: tuple = ()           # tuple of MIPMap, parallel to images ((), if off)
     kinds_present: tuple = static_field(default=())
 
     @property
@@ -70,9 +71,14 @@ def _bilinear(img, uv, clamp_wrap):
     )
 
 
-def eval_texture(tex: TextureTable, tex_id, uv, vertex_color=None):
+def eval_texture(tex: TextureTable, tex_id, uv, vertex_color=None,
+                 duv_dx=None, duv_dy=None):
     """Per-lane texture lookup. tex_id: (N,) int (-1 handled by caller).
-    vertex_color: optional (N,3) interpolated vertex colors."""
+    vertex_color: optional (N,3) interpolated vertex colors.
+    duv_dx/duv_dy: optional (N,2) uv footprint derivatives — when given
+    (and the builder created MIP pyramids) bitmap lookups are trilinear
+    MIP-filtered (reference mipmap.h; EWA-style aniso via
+    render.mipmap.eval_aniso for explicit use)."""
     n = uv.shape[0]
     out = jnp.zeros((n, 3))
     if tex.n_textures == 0:
@@ -99,12 +105,25 @@ def eval_texture(tex: TextureTable, tex_id, uv, vertex_color=None):
         elif k == VERTEXCOLORS:
             val = vertex_color if vertex_color is not None else c0
         elif k == BITMAP:
+            use_mip = (duv_dx is not None and duv_dy is not None
+                       and len(tex.mips) == len(tex.images) > 0)
             val = jnp.zeros((n, 3))
             for si, img in enumerate(tex.images):
                 sel = (tex.image_slot[ti] == si)
-                # evaluate each image for all lanes, select (few images)
-                bi_r = _bilinear(img, uv_t, clamp_wrap=False)
-                bi_c = _bilinear(img, uv_t, clamp_wrap=True)
+                if use_mip:
+                    from mitsuba_tpu.render.mipmap import (
+                        eval_trilinear, lod_from_duv,
+                    )
+
+                    mip = tex.mips[si]
+                    sc = tex.uv_scale[ti]
+                    lod = lod_from_duv(mip, duv_dx * sc, duv_dy * sc)
+                    bi_r = eval_trilinear(mip, uv_t, lod, clamp_wrap=False)
+                    bi_c = eval_trilinear(mip, uv_t, lod, clamp_wrap=True)
+                else:
+                    # evaluate each image for all lanes, select (few images)
+                    bi_r = _bilinear(img, uv_t, clamp_wrap=False)
+                    bi_c = _bilinear(img, uv_t, clamp_wrap=True)
                 bi = jnp.where(tex.wrap_clamp[ti][..., None], bi_c, bi_r)
                 val = jnp.where(sel[..., None], bi * c0, val)
         else:
@@ -114,9 +133,11 @@ def eval_texture(tex: TextureTable, tex_id, uv, vertex_color=None):
 
 
 class TextureBuilder:
-    def __init__(self):
+    def __init__(self, build_mips: bool = False):
         self.rows = []
         self.images = []
+        self.mips = []
+        self.build_mips = build_mips
 
     def _add(self, **kw):
         d = dict(
@@ -167,6 +188,10 @@ class TextureBuilder:
             img = np.power(np.maximum(img, 0.0), gamma)
         slot = len(self.images)
         self.images.append(jnp.asarray(img))
+        if self.build_mips:
+            from mitsuba_tpu.render.mipmap import build_mipmap
+
+            self.mips.append(build_mipmap(img))
         return self._add(kind=BITMAP, color0=tint, image_slot=slot,
                          wrap_clamp=(wrap == "clamp"), uv_scale=uv_scale,
                          uv_offset=uv_offset)
@@ -196,6 +221,7 @@ class TextureBuilder:
             uv_offset=f32("uv_offset"),
             image_slot=i32("image_slot"),
             images=tuple(self.images),
+            mips=tuple(self.mips) if self.build_mips else (),
             wrap_clamp=jnp.asarray(np.array([r["wrap_clamp"] for r in self.rows], bool)),
             kinds_present=tuple(sorted({int(r["kind"]) for r in self.rows})),
         )

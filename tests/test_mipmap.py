@@ -1,0 +1,96 @@
+"""MIP pyramid + trilinear/anisotropic filtering (reference mipmap.h)."""
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_tpu.render.mipmap import (
+    build_mipmap, eval_aniso, eval_trilinear, lod_from_duv,
+)
+
+
+def _checker(n=64):
+    yy, xx = np.mgrid[0:n, 0:n]
+    img = (((xx // 4) + (yy // 4)) % 2).astype(np.float32)
+    return np.repeat(img[:, :, None], 3, 2)
+
+
+def test_pyramid_structure_and_energy():
+    mip = build_mipmap(_checker(64))
+    assert mip.n_levels == 7                       # 64 -> 1
+    assert mip.levels[0].shape == (64, 64, 3)
+    assert mip.levels[-1].shape == (1, 1, 3)
+    # box downsampling preserves the mean exactly at every level
+    means = [float(jnp.mean(l)) for l in mip.levels]
+    np.testing.assert_allclose(means, means[0], rtol=1e-6)
+    np.testing.assert_allclose(means[-1], 0.5, atol=1e-6)
+
+
+def test_non_pow2_resampled():
+    mip = build_mipmap(np.ones((48, 20, 3), np.float32) * 0.25)
+    assert mip.levels[0].shape == (64, 32, 3)
+    np.testing.assert_allclose(np.asarray(mip.levels[0]), 0.25, atol=1e-6)
+
+
+def test_trilinear_level_selection():
+    """lod 0 reproduces the sharp checker; high lod converges to the
+    0.5 average."""
+    mip = build_mipmap(_checker(64))
+    uv = jnp.asarray([[6.0 / 64, 1.0 - 2.0 / 64]])  # bright 4x4 cell ((1+0)%2==1)
+    v0 = float(eval_trilinear(mip, uv, jnp.asarray([0.0]))[0, 0])
+    v_hi = float(eval_trilinear(mip, uv, jnp.asarray([6.0]))[0, 0])
+    assert v0 > 0.9
+    assert abs(v_hi - 0.5) < 1e-5
+    # halfway lod sits between its neighbours
+    v3 = float(eval_trilinear(mip, uv, jnp.asarray([3.0]))[0, 0])
+    v4 = float(eval_trilinear(mip, uv, jnp.asarray([4.0]))[0, 0])
+    v35 = float(eval_trilinear(mip, uv, jnp.asarray([3.5]))[0, 0])
+    lo, hi = min(v3, v4), max(v3, v4)
+    assert lo - 1e-6 <= v35 <= hi + 1e-6
+
+
+def test_lod_from_footprint():
+    mip = build_mipmap(_checker(64))
+    # one-texel footprint -> lod 0; 8-texel -> lod 3
+    one = jnp.asarray([[1.0 / 64, 0.0]])
+    zero = jnp.zeros((1, 2))
+    assert abs(float(lod_from_duv(mip, one, zero)[0])) < 1e-5
+    eight = jnp.asarray([[8.0 / 64, 0.0]])
+    assert abs(float(lod_from_duv(mip, eight, zero)[0]) - 3.0) < 1e-5
+
+
+def test_aniso_sharper_than_isotropic():
+    """A footprint long in u but thin in v: anisotropic filtering must
+    preserve v-variation that the isotropic (trilinear at major-axis lod)
+    filter blurs away."""
+    n = 64
+    yy = np.mgrid[0:n, 0:n][0]
+    stripes = ((yy // 8) % 2).astype(np.float32)     # horizontal stripes
+    mip = build_mipmap(np.repeat(stripes[:, :, None], 3, 2))
+    duv_dx = jnp.asarray([[16.0 / n, 0.0]])          # wide in u
+    duv_dy = jnp.asarray([[0.0, 1.0 / n]])           # thin in v
+    uv_bright = jnp.asarray([[0.5, 1.0 - 12.5 / n]])  # rows 8-15 are bright
+    uv_dark = jnp.asarray([[0.5, 1.0 - 4.5 / n]])
+    a_b = float(eval_aniso(mip, uv_bright, duv_dx, duv_dy, taps=8)[0, 0])
+    a_d = float(eval_aniso(mip, uv_dark, duv_dx, duv_dy, taps=8)[0, 0])
+    iso_lod = lod_from_duv(mip, duv_dx, duv_dy)
+    i_b = float(eval_trilinear(mip, uv_bright, iso_lod)[0, 0])
+    i_d = float(eval_trilinear(mip, uv_dark, iso_lod)[0, 0])
+    assert (a_b - a_d) > 2.0 * (i_b - i_d)  # aniso keeps far more contrast
+    assert (a_b - a_d) > 0.5
+
+
+def test_eval_texture_mip_integration():
+    """TextureBuilder(build_mips=True) + duv args -> filtered lookups."""
+    from mitsuba_tpu.render.texture import TextureBuilder, eval_texture
+
+    tb = TextureBuilder(build_mips=True)
+    tid = tb.bitmap(_checker(64), gamma=1.0)
+    tex = tb.build()
+    uv = jnp.asarray([[6.0 / 64, 1.0 - 2.0 / 64],     # bright cell
+                      [2.0 / 64, 1.0 - 2.0 / 64]])    # dark cell
+    ids = jnp.asarray([tid, tid], jnp.int32)
+    sharp = eval_texture(tex, ids, uv)
+    wide = jnp.full((2, 2), 0.5)     # half-texture footprint
+    blurred = eval_texture(tex, ids, uv, duv_dx=wide, duv_dy=wide)
+    # sharp lookup keeps checker contrast, filtered one is near the mean
+    assert abs(float(sharp[0, 0]) - float(sharp[1, 0])) > 0.5
+    np.testing.assert_allclose(np.asarray(blurred), 0.5, atol=0.05)
