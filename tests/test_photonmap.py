@@ -1,6 +1,7 @@
 """Photon mapping: density estimate must agree with path tracing on the
 diffuse Cornell box (the reference validates estimators against each other
 the same way, ttest.cpp)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -56,3 +57,23 @@ def test_ppm_radius_shrinks_and_converges():
     )
     assert np.isfinite(np.asarray(img)).all()
     assert aux["passes"] == 3
+
+
+def test_photonmapper_final_gather_vs_path():
+    """Full photon mapping (direct NEE + final gather) cross-validates
+    against the path tracer (reference photonmapper.cpp mode)."""
+    from mitsuba_tpu.integrators.photonmap import photonmapper_render
+
+    scene = cornell_box(width=16, height=16)
+    img_pm, aux = photonmapper_render(
+        scene, PathConfig(max_depth=4, spp=2, remat=False),
+        n_photons=80_000, gather_samples=8, seed=2,
+    )
+    img_pt, _ = render(
+        scene, PathConfig(max_depth=5, spp=64, remat=False), seed=7
+    )
+    a = float(jnp.mean(img_pm))
+    b = float(jnp.mean(img_pt))
+    assert np.isfinite(np.asarray(img_pm)).all()
+    assert a > 0
+    assert abs(a - b) / b < 0.30, (a, b)
