@@ -163,3 +163,59 @@ class SHSampler:
         cell_sa = dt * dp * jnp.sin(jnp.maximum(theta, 1e-4))
         pdf = (flat[idx] / total) / jnp.maximum(cell_sa, 1e-10)
         return d, pdf
+
+
+# ---------------------------------------------------------------------------
+# SHVector4D: a (theta_i, phi_i) grid of SH expansions of f(wi, .)
+# (reference shvector4d.h:35 — used to tabulate 4-D scattering functions)
+# ---------------------------------------------------------------------------
+
+def _grid_dirs(res_theta: int, res_phi: int):
+    ti = (np.arange(res_theta) + 0.5) / res_theta * np.pi
+    pi_ = (np.arange(res_phi) + 0.5) / res_phi * (2 * np.pi)
+    tt, pp = np.meshgrid(ti, pi_, indexing="ij")
+    st = np.sin(tt)
+    return np.stack([st * np.cos(pp), st * np.sin(pp), np.cos(tt)], -1)
+
+
+def project_4d(fn, bands: int, res_theta: int = 8, res_phi: int = 16,
+               res: int = 32):
+    """Tabulate f(wi, wo) as a grid of SH vectors over incident directions
+    (reference SHVector4D::project, shvector4d.h).  fn(wi (3,), wo (M,3))
+    -> (M,).  Returns (res_theta, res_phi, n_coeffs(bands))."""
+    dirs = _grid_dirs(res_theta, res_phi)
+    out = np.zeros((res_theta, res_phi, n_coeffs(bands)), np.float32)
+    for a in range(res_theta):
+        for b in range(res_phi):
+            wi = jnp.asarray(dirs[a, b], jnp.float32)
+            out[a, b] = np.asarray(
+                project(lambda wo: fn(wi, wo), bands, res=res)
+            )
+    return jnp.asarray(out)
+
+
+def eval_sh_4d(grid, wi, wo):
+    """Evaluate the tabulated 4-D function: bilinear over the (theta, phi)
+    incident grid, SH eval in wo (reference SHVector4D::lookup).
+
+    grid: (T, P, C); wi, wo: (N, 3) -> (N,)."""
+    t_res, p_res, n_c = grid.shape
+    bands = int(round(math.sqrt(n_c)))
+    theta = jnp.arccos(jnp.clip(wi[:, 2], -1.0, 1.0))
+    phi = jnp.arctan2(wi[:, 1], wi[:, 0]) % (2 * jnp.pi)
+    ft = theta / jnp.pi * t_res - 0.5
+    fp = phi / (2 * jnp.pi) * p_res - 0.5
+    t0 = jnp.floor(ft)
+    p0 = jnp.floor(fp)
+    wt = (ft - t0)[:, None]
+    wp = (fp - p0)[:, None]
+    t0i = jnp.clip(t0, 0, t_res - 1).astype(jnp.int32)
+    t1i = jnp.clip(t0 + 1, 0, t_res - 1).astype(jnp.int32)
+    p0i = jnp.mod(p0, p_res).astype(jnp.int32)
+    p1i = jnp.mod(p0 + 1, p_res).astype(jnp.int32)
+    c = (grid[t0i, p0i] * (1 - wt) * (1 - wp)
+         + grid[t0i, p1i] * (1 - wt) * wp
+         + grid[t1i, p0i] * wt * (1 - wp)
+         + grid[t1i, p1i] * wt * wp)          # (N, C)
+    basis = eval_basis(bands, wo)             # (N, C)
+    return jnp.sum(c * basis, axis=-1)

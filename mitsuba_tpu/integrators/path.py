@@ -52,6 +52,8 @@ class PathConfig:
     rfilter: str = "box"        # reconstruction filter (render/rfilter.py)
     sort_rays: bool = False     # Morton-sort rays per bounce (packet-BVH
                                 # coherence for large scenes)
+    mip_filter: bool = False    # ray-cone texture lod (needs
+                                # SceneBuilder(build_mips=True) pyramids)
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -130,15 +132,21 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         jnp.ones(n, bool),            # prev_delta (camera ray: full Le)
         jnp.zeros(n, jnp.int32),      # depth_count
         jnp.zeros((), jnp.float32),   # rays_traced
+        jnp.zeros(n),                 # path_len (ray-cone footprint)
     )
+    # ray-cone spread: one pixel's angular size (Akenine-Moller ray cones;
+    # replaces the reference's RayDifferential transfer, which would need
+    # per-lane dp/dx state through the scan)
+    cone_alpha = 2.0 * scene.camera.tan_half_fov_y / scene.height
 
     def bounce(carry, xs):
         (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
-         rays_traced) = carry
+         rays_traced, path_len) = carry
         (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr) = xs
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
         its = (_sorted_intersect(scene, ray) if cfg.sort_rays
                else ray_intersect(scene.geom, ray))
+        path_len = path_len + jnp.where(active & its.valid, its.t, 0.0)
 
         # --- escaped rays: background luminaire with MIS ----------------
         esc = active & ~its.valid
@@ -174,7 +182,17 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         albedo = scene.materials.reflectance[mclip]
         if scene.textures.n_textures > 0:
             from mitsuba_tpu.render.texture import eval_texture
-            tex_val = eval_texture(scene.textures, tex_id, its.uv)
+            if cfg.mip_filter and len(scene.textures.mips) > 0:
+                # ray-cone footprint -> isotropic uv derivative
+                width = cone_alpha * path_len
+                dens = jnp.maximum(m.length(its.dp_du), 1e-6)
+                cos_v = jnp.maximum(jnp.abs(its.wi[..., 2]), 0.1)
+                f = (width / (dens * cos_v))[:, None]
+                duv = jnp.concatenate([f, jnp.zeros_like(f)], axis=-1)
+                tex_val = eval_texture(scene.textures, tex_id, its.uv,
+                                       duv_dx=duv, duv_dy=duv[:, ::-1])
+            else:
+                tex_val = eval_texture(scene.textures, tex_id, its.uv)
             albedo = jnp.where((tex_id >= 0)[:, None], tex_val, albedo)
 
         # --- next-event estimation (luminaire sampling) -----------------
@@ -226,7 +244,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
             d=jnp.where(active[:, None], new_ray.d, ray.d),
         )
         carry = (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"],
-                 depth_count, rays_traced)
+                 depth_count, rays_traced, path_len)
         return carry, None
 
     body = jax.checkpoint(bounce) if cfg.remat else bounce
@@ -234,7 +252,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         body, init,
         (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr),
     )
-    L, throughput, ray, active, prev_pdf, prev_delta, depth_count, rays_traced = carry
+    (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
+     rays_traced, _path_len) = carry
     return L, {
         "avg_path_length": jnp.mean(depth_count.astype(jnp.float32)),
         "rays_traced": rays_traced,

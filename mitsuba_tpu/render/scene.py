@@ -46,10 +46,10 @@ def _host_build_context():
 class SceneBuilder:
     """Host-side scene assembly: shapes bind materials and area emitters."""
 
-    def __init__(self):
+    def __init__(self, build_mips: bool = False):
         self.materials = MaterialBuilder()
         self.emitters = EmitterBuilder()
-        self.textures = TextureBuilder()
+        self.textures = TextureBuilder(build_mips=build_mips)
         self._shapes = []     # (mesh, material_id, emitter_id)
         self.camera = None
         self.width = 256

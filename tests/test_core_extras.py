@@ -202,3 +202,32 @@ def test_fbm_and_turbulence():
     assert t.std() > 0 and f.std() > 0
     # turbulence >= |fbm| is not an identity, but both share scale
     assert t.mean() > 0.1
+
+
+def test_sh4d_roundtrip():
+    """SHVector4D analog: tabulating an HG-like 4-D phase function and
+    looking it up reproduces the function (reference shvector4d.h)."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core.sh import eval_sh_4d, project_4d
+
+    g = 0.4
+
+    def f(wi, wo):
+        c = jnp.sum(wi[None, :] * wo, axis=-1)
+        return (1 - g * g) / (4 * np.pi * (1 + g * g - 2 * g * c) ** 1.5)
+
+    grid = project_4d(f, bands=6, res_theta=6, res_phi=12, res=32)
+    rng = np.random.default_rng(0)
+    wi = rng.normal(size=(64, 3)); wi /= np.linalg.norm(wi, axis=1, keepdims=True)
+    wo = rng.normal(size=(64, 3)); wo /= np.linalg.norm(wo, axis=1, keepdims=True)
+    approx = np.asarray(eval_sh_4d(grid, jnp.asarray(wi, jnp.float32),
+                                   jnp.asarray(wo, jnp.float32)))
+    exact = np.asarray(f(jnp.asarray(wi[0], jnp.float32),
+                         jnp.asarray(wo, jnp.float32)))
+    # check the wi[0] row against exact values
+    row = np.asarray(eval_sh_4d(grid, jnp.asarray(np.tile(wi[0], (64, 1)), jnp.float32),
+                                jnp.asarray(wo, jnp.float32)))
+    err = np.abs(row - exact) / (np.abs(exact) + 1e-2)
+    assert np.isfinite(approx).all()
+    assert err.mean() < 0.15, err.mean()
