@@ -132,7 +132,9 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         jnp.ones(n, bool),            # prev_delta (camera ray: full Le)
         jnp.zeros(n, jnp.int32),      # depth_count
         jnp.zeros((), jnp.float32),   # rays_traced
-        jnp.zeros(n),                 # path_len (ray-cone footprint)
+        # path_len only when ray-cone lod is on (scalar placeholder keeps
+        # the carry structure static without the (N,) state cost)
+        jnp.zeros(n) if cfg.mip_filter else jnp.zeros(()),
     )
     # ray-cone spread: one pixel's angular size (Akenine-Moller ray cones;
     # replaces the reference's RayDifferential transfer, which would need
@@ -146,7 +148,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
         its = (_sorted_intersect(scene, ray) if cfg.sort_rays
                else ray_intersect(scene.geom, ray))
-        path_len = path_len + jnp.where(active & its.valid, its.t, 0.0)
+        if cfg.mip_filter:
+            path_len = path_len + jnp.where(active & its.valid, its.t, 0.0)
 
         # --- escaped rays: background luminaire with MIS ----------------
         esc = active & ~its.valid
