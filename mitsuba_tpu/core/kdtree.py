@@ -132,13 +132,16 @@ class HashGrid:
             max_per_query=max_per_query,
         )
 
-    def gather_sum(self, queries, radius, weight_fn=None, contrib_fn=None):
+    def gather_sum(self, queries, radius, weight_fn=None, contrib_fn=None,
+                   contrib_pos_fn=None):
         """Σ payload over points within radius of each query — the photon
         density estimate. queries (N,3) → (N, F).
 
         weight_fn(dist) -> scalar kernel weight per candidate;
         contrib_fn(payload_rows (N,F), d2 (N,)) -> (N, C) replaces the raw
-        payload per candidate (e.g. per-photon BSDF evaluation).
+        payload per candidate (e.g. per-photon BSDF evaluation);
+        contrib_pos_fn(rows, d2, dp (N,3)) -> (N, C) additionally receives
+        the query-minus-record offset (gradient extrapolation).
         Scans the 27-neighbourhood with a static per-cell budget; cells
         holding more than max_per_query/27 points truncate (log-noted by
         caller if needed).
@@ -163,12 +166,18 @@ class HashGrid:
                     for s in range(per_cell):
                         pi = jnp.minimum(start + s, self.points.shape[0] - 1)
                         ok = (start + s) < end
-                        d2 = jnp.sum((self.points[pi] - queries) ** 2, axis=-1)
+                        dp = queries - self.points[pi]
+                        d2 = jnp.sum(dp * dp, axis=-1)
                         w = jnp.where(ok & (d2 <= r2), 1.0, 0.0)
                         if weight_fn is not None:
                             w = w * weight_fn(jnp.sqrt(jnp.maximum(d2, 0.0)))
                         rows = self.payload[pi]
-                        val = rows if contrib_fn is None else contrib_fn(rows, d2)
+                        if contrib_pos_fn is not None:
+                            val = contrib_pos_fn(rows, d2, dp)
+                        elif contrib_fn is not None:
+                            val = contrib_fn(rows, d2)
+                        else:
+                            val = rows
                         if total is None:
                             total = jnp.zeros((queries.shape[0], val.shape[1]))
                         total = total + w[:, None] * val
