@@ -563,7 +563,10 @@ def hk_sample(p, wi, u2, u1):
 # specular = ks. Requires per-lane uv in p["_uv"].
 
 def _cloth_yarn(p, wi):
-    """Returns is_warp (N,) from the weave pattern at p['_uv']."""
+    """Returns is_warp (N,) from the weave pattern at p['_uv'].
+    dist_type 0 = plain, 1 = 2x2 twill (procedural), 2 = explicit tile grid
+    bit-packed from a weave-pattern file (table.irawan_file; tile dims in
+    transmittance[0:2], 4x16-bit words in transmittance[2] + cond_k)."""
     uv = p.get("_uv")
     if uv is None:
         return jnp.ones(wi.shape[:-1], bool)
@@ -571,7 +574,25 @@ def _cloth_yarn(p, wi):
     iv = jnp.floor(uv[..., 1] * p["eta"]).astype(jnp.int32)
     plain = (iu + iv) % 2 == 0
     twill = ((iu - 2 * iv) % 4) < 2
-    return jnp.where(p["dist_type"] == 1, twill, plain)
+    # explicit grid (pattern-file cloth)
+    tw = jnp.maximum(jnp.round(p["transmittance"][..., 0]).astype(jnp.int32), 1)
+    th = jnp.maximum(jnp.round(p["transmittance"][..., 1]).astype(jnp.int32), 1)
+    gx = jnp.mod(iu, tw)
+    gy = jnp.mod(iv, th)
+    idx = gy * tw + gx                       # 0..63
+    word_i = idx // 16
+    bit_i = idx % 16
+    words = jnp.stack([
+        jnp.round(p["transmittance"][..., 2]),
+        jnp.round(p["cond_k"][..., 0]),
+        jnp.round(p["cond_k"][..., 1]),
+        jnp.round(p["cond_k"][..., 2]),
+    ], axis=-1).astype(jnp.int32)            # (..., 4)
+    word = jnp.sum(jnp.where(
+        jnp.arange(4) == word_i[..., None], words, 0), axis=-1)
+    gridded = ((word >> bit_i) & 1) == 1
+    return jnp.where(p["dist_type"] == 2, gridded,
+                     jnp.where(p["dist_type"] == 1, twill, plain))
 
 
 def cloth_eval(p, wi, wo):

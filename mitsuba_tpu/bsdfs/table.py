@@ -225,6 +225,49 @@ class MaterialBuilder:
             dist_type=1 if pattern == "twill" else 0,
         )
 
+    def irawan_file(self, path: str, props: dict | None = None,
+                    repeat_u: float = 10.0, repeat_v: float = 10.0):
+        """Woven cloth from a weave-pattern file (reference irawan.cpp:64
+        loads the same grammar; io/weave.py parses it).  The explicit
+        warp/weft tile grid (up to 8x8 cells) is bit-packed into the unused
+        transmittance/cond_k slots (4 x 16-bit words survive the one-hot
+        matmul gather exactly); yarn colors come from the file; the yarn
+        highlight width derives from the max inclination angle umax."""
+        from mitsuba_tpu.io.weave import EWARP, load_weave
+
+        w = load_weave(path, props)
+        wg = w.warp_grid()
+        th, tw = wg.shape
+        if tw > 8 or th > 8:
+            raise ValueError(f"weave tile {tw}x{th} exceeds the 8x8 "
+                             "bit-packed limit")
+        bits = 0
+        for y in range(th):
+            for x in range(tw):
+                if wg[y, x]:
+                    bits |= 1 << (y * tw + x)
+        words = [(bits >> (16 * i)) & 0xFFFF for i in range(4)]
+        warp_yarns = [y for y in w.yarns if y.type == EWARP] or w.yarns
+        weft_yarns = [y for y in w.yarns if y.type != EWARP] or w.yarns
+        mean = lambda ys, f: tuple(np.mean([getattr(y, f) for y in ys],
+                                           axis=0))
+        umax_w = max(y.umax for y in warp_yarns)
+        umax_f = max(y.umax for y in weft_yarns)
+        alpha_along = float(np.clip(0.25 * np.tan(max(umax_w, 1e-3)), 0.02, 1.0))
+        alpha_across = float(np.clip(0.25 * np.tan(max(umax_f, 1e-3)) * 0.3,
+                                     0.01, 1.0))
+        return self._add(
+            kind=CLOTH,
+            reflectance=mean(warp_yarns, "kd"),
+            cond_eta=mean(weft_yarns, "kd"),
+            specular=mean(w.yarns, "ks"),
+            alpha_u=alpha_along, alpha_v=alpha_across,
+            exponent=repeat_u, eta=repeat_v,
+            dist_type=2,
+            transmittance=(float(tw), float(th), float(words[0])),
+            cond_k=(float(words[1]), float(words[2]), float(words[3])),
+        )
+
     def composite(self, children, weights):
         """N-weighted-lobe combiner (reference composite.cpp, up to 4
         lobes): children = material row ids (must not be composites),

@@ -135,7 +135,19 @@ def build_material(mb, bsdf_node, two_sided: bool = False, opacity=None,
         )
     if t == "irawan":
         # reference irawan.cpp: filename (WeavePattern) + repeatU/V +
-        # kd/ksMultiplier. Pattern files -> procedural plain/twill for now.
+        # kd/ksMultiplier. With filename, the pattern grid/yarn colors come
+        # from the weave file (io/weave.py); else procedural plain/twill.
+        if "filename" in p:
+            import os as _os
+
+            from mitsuba_tpu.io.xml_shapes import _resolve
+
+            path = _resolve(base_dir, p["filename"])
+            return finish(mb.irawan_file(
+                path, props=p,
+                repeat_u=float(p.get("repeatU", 10.0)),
+                repeat_v=float(p.get("repeatV", 10.0)),
+            ))
         return finish(
             mb.irawan(
                 warp_kd=_spec(p, "warpKd", (0.3, 0.27, 0.25)),
