@@ -75,6 +75,11 @@ def _cmd_info(argv):
     ap.add_argument("scene")
     ap.add_argument("-D", "--define", action="append", default=[])
     a = ap.parse_args(argv)
+    # info is a host-side diagnostic — keep the scene off the accelerator
+    # (a TPU device_put of all tables costs minutes over a tunnel)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from mitsuba_tpu.io.xml import load_scene
