@@ -207,3 +207,191 @@ def render_volpath(scene, medium, cfg: PathConfig, seed: int = 0, mis: bool = Tr
     L, aux = volpath_trace(scene, medium, ray, sampler, cfg, seed=seed, mis=mis)
     img = L.reshape(h, w, spp, 3).mean(axis=2)
     return img, aux
+
+
+# ---------------------------------------------------------------------------
+# Shape-attached interior media (reference: Shape interior/exterior medium
+# pointers traversed by volpath.cpp at refractive boundaries).
+# Per-lane current-medium index through the scan; homogeneous closed-form
+# sampling on one-hot-gathered sigmas (media/medium.py MediumStack).
+# ---------------------------------------------------------------------------
+
+def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
+                        mis: bool = True):
+    """Volumetric path tracing with per-shape interior media.
+
+    Every lane carries the index of the medium it is travelling through
+    (-1 = vacuum); crossing a transmissive surface into a shape switches
+    to scene.shape_interior[shape], exiting returns to vacuum (single-level
+    nesting, like the reference's common usage).  NEE shadow rays attenuate
+    by the CURRENT medium only (boundary-crossing shadow attenuation is an
+    ambient-medium feature; see volpath_trace)."""
+    from mitsuba_tpu.media import HG
+    from mitsuba_tpu.media.medium import (
+        stack_params, stack_sample_distance, stack_transmittance,
+    )
+
+    n = ray.o.shape[0]
+    d_max = cfg.max_depth
+    stack = scene.media
+    interior = scene.shape_interior
+
+    u_ch = sampler.next_stacked_1d(d_max)
+    u_dist = sampler.next_stacked_1d(d_max)
+    u_nee_sel = sampler.next_stacked_1d(d_max)
+    u_nee_pos = sampler.next_stacked_2d(d_max)
+    u_scatter = sampler.next_stacked_2d(d_max)
+    u_lobe = sampler.next_stacked_1d(d_max)
+    u_rr = sampler.next_stacked_1d(d_max)
+    is_last = (jnp.arange(d_max) + 1) >= d_max
+    do_rr = jnp.arange(d_max) >= cfg.rr_depth
+
+    init = (
+        jnp.zeros((n, 3)), jnp.ones((n, 3)), ray,
+        jnp.ones(n, bool), jnp.zeros(n), jnp.ones(n, bool),
+        jnp.zeros(n, jnp.int32),
+        jnp.full((n,), -1, jnp.int32),      # current medium index
+    )
+
+    def bounce(carry, xs):
+        (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
+         cur) = carry
+        (u_ch, u_dist, u_nee_sel, u_nee_pos, u_scatter, u_lobe, u_rr,
+         is_last, do_rr) = xs
+
+        its = ray_intersect(scene.geom, ray)
+        t_surf = jnp.where(its.valid, its.t, _FAR)
+
+        ss, sa, g_lane, inside = stack_params(stack, cur)
+        md = stack_sample_distance(ss, sa, t_surf, _detach(u_ch),
+                                   _detach(u_dist))
+        md_valid = md["valid"] & inside
+        in_medium = active & md_valid
+        at_surface = active & ~md_valid & its.valid
+        escaped = active & ~md_valid & ~its.valid
+        p_med = ray.o + ray.d * md["t"][:, None]
+
+        thr_med = throughput * md["weight"]
+        thr_surf = throughput * jnp.where(inside[:, None],
+                                          md["surface_weight"], 1.0)
+
+        env = eval_environment(scene.emitters, ray.d)
+        env_pdf = pdf_environment(scene.emitters, ray.d)
+        w_env = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, env_pdf))
+        L = L + jnp.where(escaped[:, None], thr_surf * env * w_env[:, None], 0.0)
+
+        depth_count = depth_count + (in_medium | at_surface).astype(jnp.int32)
+
+        le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
+        lum_pdf = pdf_direct_area(scene.emitters, its.prim_id, ray.o, its.p,
+                                  its.geo_n)
+        w_bsdf = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, lum_pdf))
+        L = L + jnp.where(at_surface[:, None], thr_surf * le * w_bsdf[:, None], 0.0)
+
+        cont_m = in_medium & ~is_last
+        cont_s = at_surface & ~is_last
+
+        p_scatter = jnp.where(in_medium[:, None], p_med, its.p)
+        ds = sample_direct(
+            scene.emitters, scene.geom, p_scatter,
+            _detach(u_nee_sel), _detach(u_nee_pos),
+        )
+        ph_val = phase_eval(HG, g_lane, ray.d, ds.d)
+        ph_pdf = phase_pdf(HG, g_lane, ray.d, ds.d) if mis else jnp.zeros(n)
+        wo_local = its.to_local(ds.d)
+        fcos = bsdf_eval(scene.materials, its.material_id, its.wi, wo_local)
+        b_pdf = bsdf_pdf(scene.materials, its.material_id, its.wi, wo_local)
+
+        eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(p_scatter).max(-1))
+        shadow = Ray.make(p_scatter, ds.d, mint=eps, maxt=ds.dist * (1.0 - 1e-3))
+        occluded = ray_test(scene.geom, shadow)
+        tr = stack_transmittance(ss, sa, ds.dist)
+        tr = jnp.where(inside[:, None], tr, 1.0)
+
+        nee_ok = (cont_m | cont_s) & ds.valid & (ds.pdf > 0) & ~occluded
+        scatter_pdf = jnp.where(in_medium, ph_pdf, b_pdf)
+        w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, scatter_pdf))
+        f_scatter = jnp.where(in_medium[:, None], ph_val[:, None], fcos)
+        thr_here = jnp.where(in_medium[:, None], thr_med, thr_surf)
+        contrib = thr_here * f_scatter * ds.value * tr * \
+            (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
+        L = L + jnp.where(nee_ok[:, None], contrib, 0.0)
+
+        wo_phase, phase_p = phase_sample(HG, g_lane, ray.d, _detach(u_scatter))
+        bs = bsdf_sample(
+            scene.materials, its.material_id, its.wi,
+            _detach(u_scatter), _detach(u_lobe),
+        )
+        wo_world = jnp.where(in_medium[:, None], wo_phase,
+                             its.to_world(bs["wo"]))
+        next_pdf = jnp.where(in_medium, phase_p if mis else jnp.zeros(n),
+                             bs["pdf"])
+        next_delta = jnp.where(
+            in_medium,
+            jnp.zeros(n, bool) if mis else jnp.ones(n, bool), bs["delta"])
+        scatter_ok = jnp.where(in_medium, True, bs["valid"])
+        active = (cont_m | cont_s) & scatter_ok
+
+        new_thr = jnp.where(in_medium[:, None], thr_med,
+                            thr_surf * bs["weight"])
+
+        # --- medium transition at transmissive surfaces -----------------
+        if interior is not None:
+            sid = jnp.clip(its.shape_id, 0, interior.shape[0] - 1)
+            hit_interior = interior[sid]
+            entering = jnp.sum(wo_world * its.geo_n, axis=-1) < 0
+            crossed = at_surface & bs["transmission"] & active
+            cur = jnp.where(
+                crossed, jnp.where(entering, hit_interior, -1), cur
+            )
+
+        albedo = jnp.minimum(0.9, jnp.maximum(
+            jnp.max(_detach(new_thr), axis=-1)
+            / jnp.maximum(jnp.max(_detach(throughput), axis=-1), 1e-8), 0.05))
+        kill = do_rr & (u_rr > albedo) & ~bs["transmission"]
+        rr_scale = jnp.where(do_rr & ~bs["transmission"],
+                             1.0 / jnp.maximum(albedo, 1e-3), 1.0)
+        active = active & ~kill
+        new_thr = new_thr * jnp.where(active, rr_scale, 1.0)[:, None]
+
+        throughput = jnp.where(active[:, None], new_thr, throughput)
+        origin = jnp.where(in_medium[:, None], p_med, its.p)
+        new_ray = Ray.make(origin, wo_world, mint=eps)
+        ray = replace(
+            new_ray,
+            o=jnp.where(active[:, None], new_ray.o, ray.o),
+            d=jnp.where(active[:, None], new_ray.d, ray.d),
+        )
+        return (L, throughput, ray, active, _detach(next_pdf), next_delta,
+                depth_count, cur), None
+
+    body = jax.checkpoint(bounce) if cfg.remat else bounce
+    carry, _ = jax.lax.scan(
+        body, init,
+        (u_ch, u_dist, u_nee_sel, u_nee_pos, u_scatter, u_lobe, u_rr,
+         is_last, do_rr),
+    )
+    return carry[0], {"avg_path_length": jnp.mean(carry[6].astype(jnp.float32))}
+
+
+def render_volpath_media(scene, cfg: PathConfig, seed: int = 0,
+                         mis: bool = True):
+    """Render a scene whose shapes carry interior media
+    (SceneBuilder.add_medium + add_shape(interior_medium=...))."""
+    from mitsuba_tpu.render.sampler import sample_position
+
+    w, h, spp = scene.width, scene.height, cfg.spp
+    n = w * h * spp
+    lane = jnp.arange(n)
+    pixel_id = lane // spp
+    sample_id = (lane % spp).astype(jnp.int32)
+    px = (pixel_id % w).astype(jnp.float32)
+    py = (pixel_id // w).astype(jnp.float32)
+    sampler = Sampler(seed, pixel_id, sample_id)
+    jitter = sampler.next_2d()
+    offset = sample_position(cfg.pattern, sample_id, spp, jitter)
+    uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], axis=-1)
+    ray = scene.camera.sample_ray(uv)
+    L, aux = volpath_media_trace(scene, ray, sampler, cfg, mis=mis)
+    img = L.reshape(h, w, spp, 3).mean(axis=2)
+    return img, aux

@@ -157,6 +157,36 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
     mesh = load_shape_mesh(shape_node, base_dir)
     bsdf = _find(shape_node, "bsdf")
     lum = _find(shape_node, "luminaire")
+    # interior medium bound to the shape (reference: <medium> child named
+    # "interior"; homogeneous only — heterogeneous stays ambient)
+    interior = -1
+    for c in shape_node["children"]:
+        if c["category"] == "medium" and c.get("name") in ("interior", None):
+            if c["type"] != "homogeneous":
+                raise ValueError(
+                    "only homogeneous media can bind to shapes; "
+                    "use the scene-level medium for heterogeneous grids")
+            mp = c["props"]
+
+            def _sp(name, default):
+                v = mp.get(name, default)
+                if isinstance(v, (int, float)):
+                    return (float(v),) * 3
+                return tuple(v)
+
+            if "sigmaT" in mp or "albedo" in mp:
+                st = _sp("sigmaT", 1.0)
+                al = _sp("albedo", 0.5)
+                ss = tuple(t_ * a_ for t_, a_ in zip(st, al))
+                sa = tuple(t_ - s_ for t_, s_ in zip(st, ss))
+            else:
+                ss = _sp("sigmaS", 1.0)
+                sa = _sp("sigmaA", 0.1)
+            g = 0.0
+            for pc in c["children"]:
+                if pc["category"] == "phase" and pc["type"] == "hg":
+                    g = float(pc["props"].get("g", 0.8))
+            interior = builder.add_medium(ss, sa, g=g)
     if bsdf is not None:
         mid = material_fn(builder, bsdf, mat_cache)
     else:
@@ -171,9 +201,10 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
         if lum["type"] not in ("area", ""):
             raise ValueError("only area luminaires can be attached to shapes")
         radiance = _spec(lum["props"], "intensity", 1.0)
-        builder.add_area_emitter_shape(mesh, mid, radiance)
+        eid = builder.emitters.area(mesh, radiance)
+        builder.add_shape(mesh, mid, eid, interior_medium=interior)
     else:
-        builder.add_shape(mesh, mid)
+        builder.add_shape(mesh, mid, interior_medium=interior)
 
 
 def add_scene_luminaire(builder, lum_node):

@@ -217,3 +217,75 @@ def sample_distance(med: MediumTable, o, d, max_dist, u_channel, u_dist,
         valid=valid, t=t, p=o + d * t[:, None],
         weight=weight, surface_weight=jnp.ones((n, 3)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shape-attached interior media (reference: Shape::setInteriorMedium /
+# BSDF boundaries in volpath.cpp; media bind to shapes in the scene XML).
+# TPU re-design: a small SoA stack of HOMOGENEOUS media; every lane carries
+# its current medium index (-1 = vacuum/ambient), parameters are fetched
+# with a one-hot gather, and the closed-form homogeneous sampling runs
+# per-lane on the gathered sigmas.  Heterogeneous grids stay ambient-only.
+# ---------------------------------------------------------------------------
+
+@pytree_dataclass
+class MediumStack:
+    sigma_s: jnp.ndarray      # (K, 3)
+    sigma_a: jnp.ndarray      # (K, 3)
+    phase_g: jnp.ndarray      # (K,)
+
+    @property
+    def n_media(self):
+        return self.sigma_s.shape[0]
+
+
+def make_medium_stack(media) -> MediumStack:
+    """media: list of (sigma_s, sigma_a, g) triples."""
+    if not media:
+        return MediumStack(
+            sigma_s=jnp.zeros((0, 3)), sigma_a=jnp.zeros((0, 3)),
+            phase_g=jnp.zeros((0,)),
+        )
+    ss = jnp.asarray([m_[0] for m_ in media], jnp.float32)
+    sa = jnp.asarray([m_[1] for m_ in media], jnp.float32)
+    g = jnp.asarray([m_[2] for m_ in media], jnp.float32)
+    return MediumStack(sigma_s=ss, sigma_a=sa, phase_g=g)
+
+
+def stack_params(stack: MediumStack, cur):
+    """Per-lane (sigma_s, sigma_a, g, inside) for medium index cur (N,)
+    (-1 = vacuum -> zeros).  One-hot gather (K is tiny)."""
+    n = cur.shape[0]
+    if stack is None or stack.n_media == 0:
+        z = jnp.zeros((n, 3))
+        return z, z, jnp.zeros(n), jnp.zeros(n, bool)
+    onehot = (cur[:, None] == jnp.arange(stack.n_media)[None, :]).astype(
+        jnp.float32)
+    ss = onehot @ stack.sigma_s
+    sa = onehot @ stack.sigma_a
+    g = onehot @ stack.phase_g
+    return ss, sa, g, cur >= 0
+
+
+def stack_sample_distance(ss, sa, max_dist, u_channel, u_dist):
+    """Per-lane closed-form homogeneous distance sampling (same estimator
+    as sample_distance's HOMOGENEOUS branch, with (N,3) sigmas)."""
+    st = ss + sa
+    ch = jnp.clip((u_channel * 3).astype(jnp.int32), 0, 2)
+    st_ch = jnp.take_along_axis(st, ch[:, None], axis=1)[:, 0]
+    t = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / jnp.maximum(st_ch, 1e-20)
+    valid = (t < max_dist) & (st_ch > 0)
+    t_cl = jnp.minimum(t, max_dist)
+    tr = jnp.exp(-st * t_cl[:, None])
+    pdf_t = jnp.mean(st * tr, axis=1)
+    tr_max = jnp.exp(-st * max_dist[:, None])
+    pdf_surf = jnp.mean(tr_max, axis=1)
+    weight = ss * tr / jnp.maximum(pdf_t, 1e-20)[:, None]
+    surface_weight = tr_max / jnp.maximum(pdf_surf, 1e-20)[:, None]
+    return dict(valid=valid, t=t_cl, weight=weight,
+                surface_weight=surface_weight)
+
+
+def stack_transmittance(ss, sa, dist):
+    """exp(-(sigma_t) * dist) per lane (homogeneous closed form)."""
+    return jnp.exp(-(ss + sa) * dist[:, None])

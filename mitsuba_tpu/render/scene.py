@@ -32,6 +32,10 @@ class Scene:
     textures: TextureTable
     width: int = static_field(default=256)
     height: int = static_field(default=256)
+    # shape-attached interior media (media/medium.py MediumStack); (S,)
+    # per-shape medium index, -1 = none.  None when the scene has no media.
+    media: object = None
+    shape_interior: object = None
 
 
 def _host_build_context():
@@ -51,12 +55,23 @@ class SceneBuilder:
         self.emitters = EmitterBuilder()
         self.textures = TextureBuilder(build_mips=build_mips)
         self._shapes = []     # (mesh, material_id, emitter_id)
+        self._shape_interior = []   # per shape: medium index or -1
+        self._media = []            # (sigma_s, sigma_a, g)
         self.camera = None
         self.width = 256
         self.height = 256
 
-    def add_shape(self, mesh, material_id, emitter_id=-1):
+    def add_medium(self, sigma_s, sigma_a, g: float = 0.0) -> int:
+        """Register a homogeneous medium; returns its index for
+        add_shape(interior_medium=...) (reference: media attach to shapes
+        as interior/exterior pointers)."""
+        self._media.append((tuple(sigma_s), tuple(sigma_a), float(g)))
+        return len(self._media) - 1
+
+    def add_shape(self, mesh, material_id, emitter_id=-1,
+                  interior_medium: int = -1):
         self._shapes.append((mesh, material_id, emitter_id))
+        self._shape_interior.append(int(interior_medium))
         return len(self._shapes) - 1
 
     def add_area_emitter_shape(self, mesh, material_id, radiance):
@@ -95,10 +110,19 @@ class SceneBuilder:
         cam = self.camera
         if cam is None:
             cam = make_perspective(tf.identity(), 45.0, self.width / self.height)
+        media = None
+        shape_interior = None
+        if self._media:
+            from mitsuba_tpu.media.medium import make_medium_stack
+
+            media = make_medium_stack(self._media)
+            shape_interior = jnp.asarray(
+                np.asarray(self._shape_interior, np.int32))
         return Scene(
             geom=geom, materials=mats, emitters=em, camera=cam,
             textures=self.textures.build(),
             width=self.width, height=self.height,
+            media=media, shape_interior=shape_interior,
         )
 
 
