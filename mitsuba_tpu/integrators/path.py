@@ -36,7 +36,9 @@ from mitsuba_tpu.emitters import (
     pdf_environment,
     sample_direct,
 )
-from mitsuba_tpu.render.intersect import ray_intersect, ray_test
+from mitsuba_tpu.render.intersect import (
+    ray_intersect, ray_intersect_and_test, ray_test,
+)
 from mitsuba_tpu.render.records import Ray
 from mitsuba_tpu.render.sampler import Sampler, sample_position
 
@@ -135,6 +137,12 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         # path_len only when ray-cone lod is on (scalar placeholder keeps
         # the carry structure static without the (N,) state cost)
         jnp.zeros(n) if cfg.mip_filter else jnp.zeros(()),
+        # deferred NEE: the shadow ray fires fused with the NEXT bounce's
+        # closest hit (one Pallas launch, shared triangle loop); its
+        # contribution lands one scan step later
+        Ray.make(ray.o, ray.d, maxt=jnp.full(n, -1.0)),   # pending shadow
+        jnp.zeros((n, 3)),            # pending NEE contribution
+        jnp.zeros(n, bool),           # pending valid
     )
     # ray-cone spread: one pixel's angular size (Akenine-Moller ray cones;
     # replaces the reference's RayDifferential transfer, which would need
@@ -143,11 +151,17 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
 
     def bounce(carry, xs):
         (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
-         rays_traced, path_len) = carry
+         rays_traced, path_len, pend_ray, pend_contrib, pend_ok) = carry
         (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr) = xs
-        rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
-        its = (_sorted_intersect(scene, ray) if cfg.sort_rays
-               else ray_intersect(scene.geom, ray))
+        rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32)) \
+            + jnp.sum(pend_ok.astype(jnp.float32))
+        if cfg.sort_rays:
+            its = _sorted_intersect(scene, ray)
+            s_occ = ray_test(scene.geom, pend_ray)
+        else:
+            its, s_occ = ray_intersect_and_test(scene.geom, ray, pend_ray)
+        # resolve the previous bounce's NEE shadow ray
+        L = L + jnp.where((pend_ok & ~s_occ)[:, None], pend_contrib, 0.0)
         if cfg.mip_filter:
             path_len = path_len + jnp.where(active & its.valid, its.t, 0.0)
 
@@ -210,13 +224,15 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         # shadow ray (reference Scene::isOccluded); epsilon scales with the
         # local coordinate magnitude to stay above float32 ulp at scene scale
         eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(its.p).max(-1))
-        shadow = Ray.make(its.p, ds.d, mint=eps, maxt=ds.dist * (1.0 - 1e-3))
-        occluded = ray_test(scene.geom, shadow)
-        rays_traced = rays_traced + jnp.sum(nee_ok.astype(jnp.float32))
-        nee_ok = nee_ok & ~occluded
+        # DEFERRED: stash the shadow ray + contribution; visibility rides
+        # the next bounce's fused kernel (or a post-scan flush)
+        pend_ray = Ray.make(its.p, ds.d, mint=eps,
+                            maxt=jnp.where(nee_ok, ds.dist * (1.0 - 1e-3),
+                                           -1.0))
         w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, b_pdf))
-        contrib = throughput * fcos * ds.value * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
-        L = L + jnp.where(nee_ok[:, None], contrib, 0.0)
+        pend_contrib = throughput * fcos * ds.value * \
+            (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
+        pend_ok = nee_ok
 
         # --- BSDF sampling ----------------------------------------------
         bs = bsdf_sample(
@@ -247,7 +263,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
             d=jnp.where(active[:, None], new_ray.d, ray.d),
         )
         carry = (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"],
-                 depth_count, rays_traced, path_len)
+                 depth_count, rays_traced, path_len, pend_ray, pend_contrib,
+                 pend_ok)
         return carry, None
 
     body = jax.checkpoint(bounce) if cfg.remat else bounce
@@ -256,7 +273,9 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr),
     )
     (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
-     rays_traced, _path_len) = carry
+     rays_traced, _path_len, pend_ray, pend_contrib, pend_ok) = carry
+    # no post-scan flush needed: NEE is gated off at the last depth
+    # (cont = active & ~is_last), so the final pending set is empty
     return L, {
         "avg_path_length": jnp.mean(depth_count.astype(jnp.float32)),
         "rays_traced": rays_traced,

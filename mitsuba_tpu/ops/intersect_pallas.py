@@ -324,3 +324,144 @@ def make_shading_table(geom):
         ],
         axis=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused closest-hit+shading AND shadow any-hit in ONE kernel: the path
+# tracer's bounce needs both a closest hit (for the new ray) and an
+# occlusion test (for the previous bounce's NEE shadow ray).  Processing
+# both ray sets in the same triangle loop halves kernel launches and
+# reads each SMEM triangle row once for two rays.
+# ---------------------------------------------------------------------------
+
+def _shaded_any_kernel(n_tris, tri_ref,
+                       ox, oy, oz, dx, dy, dz, mint, maxt,
+                       sox, soy, soz, sdx, sdy, sdz, smint, smaxt,
+                       t_out, u_out, v_out, prim_out, hit_out,
+                       gnx, gny, gnz, snx, sny, snz, uvx, uvy,
+                       mid_out, eid_out, sid_out, occ_out):
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    mn, mx = mint[...], maxt[...]
+    s_ox, s_oy, s_oz = sox[...], soy[...], soz[...]
+    s_dx, s_dy, s_dz = sdx[...], sdy[...], sdz[...]
+    s_mn, s_mx = smint[...], smaxt[...]
+    zero = jnp.zeros(o_x.shape, jnp.float32)
+
+    def body(j, state):
+        (t_b, u_b, v_b, p_b,
+         gx, gy, gz, sx, sy, sz, tu, tv, mid, eid, sid, occ) = state
+        t, u, v, det_ok = _mt_tile(tri_ref, j, o_x, o_y, o_z, d_x, d_y, d_z)
+        hit = (
+            det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > mn) & (t < mx) & (t < t_b)
+        )
+        e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
+        e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
+        gnx_j = e1y * e2z - e1z * e2y
+        gny_j = e1z * e2x - e1x * e2z
+        gnz_j = e1x * e2y - e1y * e2x
+        w = 1.0 - u - v
+        snx_j = w * tri_ref[j, 9] + u * tri_ref[j, 12] + v * tri_ref[j, 15]
+        sny_j = w * tri_ref[j, 10] + u * tri_ref[j, 13] + v * tri_ref[j, 16]
+        snz_j = w * tri_ref[j, 11] + u * tri_ref[j, 14] + v * tri_ref[j, 17]
+        tu_j = w * tri_ref[j, 18] + u * tri_ref[j, 20] + v * tri_ref[j, 22]
+        tv_j = w * tri_ref[j, 19] + u * tri_ref[j, 21] + v * tri_ref[j, 23]
+
+        # shadow ray against the same triangle row
+        st, su, sv, s_ok = _mt_tile(tri_ref, j, s_ox, s_oy, s_oz,
+                                    s_dx, s_dy, s_dz)
+        s_hit = (
+            s_ok & (su >= 0.0) & (sv >= 0.0) & (su + sv <= 1.0)
+            & (st > s_mn) & (st < s_mx)
+        )
+
+        def sel(a, b):
+            return jnp.where(hit, a, b)
+
+        return (
+            sel(t, t_b), sel(u, u_b), sel(v, v_b), sel(j, p_b),
+            sel(gnx_j, gx), sel(gny_j, gy), sel(gnz_j, gz),
+            sel(snx_j, sx), sel(sny_j, sy), sel(snz_j, sz),
+            sel(tu_j, tu), sel(tv_j, tv),
+            sel(tri_ref[j, 24], mid), sel(tri_ref[j, 25], eid),
+            sel(tri_ref[j, 26], sid),
+            occ | s_hit.astype(jnp.int32),
+        )
+
+    state = (
+        jnp.full(o_x.shape, jnp.inf, jnp.float32), zero, zero,
+        jnp.full(o_x.shape, -1, jnp.int32),
+        zero, zero, jnp.ones(o_x.shape, jnp.float32),
+        zero, zero, jnp.ones(o_x.shape, jnp.float32),
+        zero, zero,
+        jnp.full(o_x.shape, -1.0, jnp.float32),
+        jnp.full(o_x.shape, -1.0, jnp.float32),
+        jnp.full(o_x.shape, -1.0, jnp.float32),
+        jnp.zeros(o_x.shape, jnp.int32),
+    )
+    if n_tris <= _UNROLL_LIMIT:
+        for j in range(n_tris):
+            state = body(j, state)
+    else:
+        state = jax.lax.fori_loop(0, n_tris, body, state)
+    (t_b, u_b, v_b, p_b, gx, gy, gz, sx, sy, sz, tu, tv, mid, eid, sid,
+     occ) = state
+    g_inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+    s_inv = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-20))
+    t_out[...] = t_b
+    u_out[...] = u_b
+    v_out[...] = v_b
+    prim_out[...] = p_b
+    hit_out[...] = (p_b >= 0).astype(jnp.int32)
+    gnx[...] = gx * g_inv
+    gny[...] = gy * g_inv
+    gnz[...] = gz * g_inv
+    snx[...] = sx * s_inv
+    sny[...] = sy * s_inv
+    snz[...] = sz * s_inv
+    uvx[...] = tu
+    uvy[...] = tv
+    mid_out[...] = mid.astype(jnp.int32)
+    eid_out[...] = eid.astype(jnp.int32)
+    sid_out[...] = sid.astype(jnp.int32)
+    occ_out[...] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_hit_shaded_and_any(tri_table, o, d, mint, maxt,
+                               so, sd, smint, smaxt,
+                               interpret: bool = False):
+    """Fused: shading-record closest hit for (o,d) AND any-hit occlusion
+    for the shadow rays (so,sd) — one triangle loop, one launch."""
+    t_count = tri_table.shape[0]
+    (ox, oy, oz, dx, dy, dz, mn, mx, n, m) = _pack_rays(o, d, mint, maxt)
+    (sox, soy, soz, sdx, sdy, sdz, smn, smx, _, _) = _pack_rays(
+        so, sd, smint, smaxt)
+    grid = (m // BM,)
+    ray_spec = pl.BlockSpec((BM, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((m, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((m, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        functools.partial(_shaded_any_kernel, t_count),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 16,
+        out_specs=[ray_spec] * 17,
+        out_shape=[f32, f32, f32, i32, i32,
+                   f32, f32, f32, f32, f32, f32,
+                   f32, f32, i32, i32, i32, i32],
+        interpret=interpret,
+    )(tri_table, ox, oy, oz, dx, dy, dz, mn, mx,
+      sox, soy, soz, sdx, sdy, sdz, smn, smx)
+    flat = [x.reshape(-1)[:n] for x in outs]
+    (t, u, v, prim, hit, gx, gy, gz, sx, sy, sz, tu, tv, mid, eid, sid,
+     occ) = flat
+    rec = dict(
+        t=t, u=u, v=v, prim=prim, valid=hit.astype(bool),
+        geo_n=jnp.stack([gx, gy, gz], -1),
+        sh_n=jnp.stack([sx, sy, sz], -1),
+        uv=jnp.stack([tu, tv], -1),
+        material_id=mid, emitter_id=eid, shape_id=sid,
+    )
+    return rec, occ.astype(bool)

@@ -416,6 +416,42 @@ def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
     )
 
 
+def ray_intersect_and_test(geom: GeometryTables, ray: Ray,
+                           sray: Ray):
+    """Fused closest-hit (ray) + shadow any-hit (sray) — one Pallas launch
+    with a shared triangle loop on the TPU brute path; separate queries
+    elsewhere.  Returns (Intersection, occluded)."""
+    if geom.backend != "bvh" and _use_pallas():
+        from mitsuba_tpu.ops import intersect_pallas as ip
+
+        table = ip.make_shading_table(geom)
+        r, occ = ip.closest_hit_shaded_and_any(
+            table, ray.o, ray.d, ray.mint, ray.maxt,
+            sray.o, sray.d, sray.mint, sray.maxt,
+        )
+        valid = r["valid"]
+        p = ray.at(r["t"])
+        frame = m.Frame.from_normal(r["sh_n"])
+        wi = frame.to_local(-ray.d)
+        prim = jnp.where(valid, r["prim"], 0)
+        its = Intersection(
+            valid=valid,
+            t=jnp.where(valid, r["t"], jnp.inf),
+            p=p,
+            geo_n=r["geo_n"],
+            sh_n=r["sh_n"],
+            uv=r["uv"],
+            dp_du=frame.s,
+            wi=wi,
+            prim_id=jnp.where(valid, prim, -1),
+            material_id=jnp.where(valid, r["material_id"], -1),
+            emitter_id=jnp.where(valid, r["emitter_id"], -1),
+            shape_id=jnp.where(valid, r["shape_id"], -1),
+        )
+        return its, occ
+    return ray_intersect(geom, ray), ray_test(geom, sray)
+
+
 def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
     """Any-hit (shadow ray) query → bool occlusion mask (reference
     scene.h:241 isOccluded equivalent)."""

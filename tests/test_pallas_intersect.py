@@ -126,3 +126,44 @@ def test_host_row_packing_matches_device_packing():
         np.asarray(geom.tri_rows), np.asarray(pack_records(geom.tri_packed))
     )
     assert np.abs(np.asarray(geom.bvh_rows)).sum() > 0
+
+
+def test_fused_shaded_and_any_matches_separate():
+    """closest_hit_shaded_and_any == (closest_hit_shaded, any_hit) on the
+    same ray sets (interpret mode)."""
+    import numpy as np
+
+    from mitsuba_tpu.ops.intersect_pallas import (
+        any_hit, closest_hit_shaded, closest_hit_shaded_and_any,
+        make_shading_table,
+    )
+    from mitsuba_tpu.render.scene import cornell_box
+
+    scene = cornell_box(width=8, height=8)
+    table = make_shading_table(scene.geom)
+    rng = np.random.default_rng(0)
+    n = 257   # non-multiple of tile size exercises padding
+    o = jnp.asarray(rng.uniform(50, 500, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    so = jnp.asarray(rng.uniform(50, 500, (n, 3)), jnp.float32)
+    sd = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    sd = sd / jnp.linalg.norm(sd, axis=1, keepdims=True)
+    mint = jnp.full((n,), 1e-3)
+    maxt = jnp.full((n,), 1e6)
+    smaxt = jnp.asarray(rng.uniform(10, 2000, (n,)), jnp.float32)
+    rec, occ = closest_hit_shaded_and_any(
+        table, o, d, mint, maxt, so, sd, mint, smaxt, interpret=True)
+    ref = closest_hit_shaded(table, o, d, mint, maxt, interpret=True)
+    occ_ref = any_hit(table[:, :9], so, sd, mint, smaxt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec["prim"]), np.asarray(ref["prim"]))
+    np.testing.assert_allclose(np.asarray(rec["t"]), np.asarray(ref["t"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec["sh_n"]), np.asarray(ref["sh_n"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rec["material_id"]),
+                                  np.asarray(ref["material_id"]))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+    # maxt = -1 shadow rays never occlude (the deferred-NEE dead-lane case)
+    _, occ2 = closest_hit_shaded_and_any(
+        table, o, d, mint, maxt, so, sd, mint, jnp.full((n,), -1.0),
+        interpret=True)
+    assert not bool(np.asarray(occ2).any())
