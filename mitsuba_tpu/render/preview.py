@@ -29,3 +29,24 @@ def progressive_render(scene, cfg: PathConfig, n_passes: int = 16,
         if callback is not None:
             callback(fc.image, i, fc.count, time.time() - t0)
     return fc.image, fc
+
+
+def vpl_preview(scene, spp: int = 1, n_paths: int = 48, vpl_depth: int = 2,
+                clamp_dist_frac: float = 0.05, seed: int = 0):
+    """One fast VPL direct-lighting pass — the reference PreviewWorker's
+    picture (qtgui/preview.cpp: VPL passes refine the viewport).  A single
+    deterministic frame: Le + clamped direct lighting from a small VPL set,
+    suitable as the first image while progressive_render refines."""
+    import numpy as np
+
+    from mitsuba_tpu.integrators.path import PathConfig
+    from mitsuba_tpu.integrators.vpl import render_vpl
+
+    v0 = np.asarray(scene.geom.v0)
+    extent = float(np.linalg.norm(v0.max(0) - v0.min(0)) + 1e-6)
+    img, _ = render_vpl(
+        scene, PathConfig(max_depth=2, spp=spp, remat=False),
+        n_paths=n_paths, vpl_depth=vpl_depth,
+        clamp_dist=clamp_dist_frac * extent, seed=seed,
+    )
+    return img

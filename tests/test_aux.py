@@ -120,3 +120,53 @@ def test_strict_normals_runs():
                                       strict_normals=True), seed=0)
     a = np.asarray(img)
     assert np.isfinite(a).all() and a.mean() > 0
+
+
+# ---------------------------------------------------------------------------
+# failure detection (utils/debug.py)
+# ---------------------------------------------------------------------------
+
+def test_checked_catches_nan():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from mitsuba_tpu.utils.debug import checked
+
+    def bad(x):
+        return jnp.log(x) / jnp.sqrt(x - 2.0)   # NaN for x in (0, 2)
+
+    f = checked(jax.jit(bad))
+    assert float(f(jnp.asarray(9.0))) > 0       # clean input passes
+    with pytest.raises(Exception):
+        f(jnp.asarray(1.0))
+
+
+def test_assert_finite_reports_leaf_and_index():
+    import numpy as np
+    import pytest
+
+    from mitsuba_tpu.utils.debug import assert_finite, find_nonfinite
+
+    tree = {"film": np.ones((4, 4)), "grad": np.array([1.0, np.nan, np.inf])}
+    bad = find_nonfinite(tree)
+    assert len(bad) == 1
+    path, count, idx = bad[0]
+    assert "grad" in path and count == 2 and idx[0] == (1,)
+    with pytest.raises(FloatingPointError, match="grad"):
+        assert_finite(tree)
+    assert_finite({"x": np.zeros(3)})           # clean tree passes
+
+
+def test_render_output_finite():
+    """End-to-end film validation via assert_finite (checkify cannot gate
+    full renders: masked multi-eval legitimately computes-then-discards
+    NaN lanes — see utils/debug.py docstring)."""
+    from mitsuba_tpu.integrators.path import PathConfig, render
+    from mitsuba_tpu.render.scene import cornell_box
+    from mitsuba_tpu.utils.debug import assert_finite
+
+    scene = cornell_box(width=8, height=8)
+    cfg = PathConfig(max_depth=3, spp=2, remat=False)
+    img, aux = render(scene, cfg, seed=0)
+    assert_finite({"film": img, "aux": aux}, "render output")

@@ -48,3 +48,14 @@ def test_vpl_deterministic():
     i1, _ = render_vpl(scene, cfg, n_paths=32, seed=5)
     i2, _ = render_vpl(scene, cfg, n_paths=32, seed=5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_vpl_preview():
+    from mitsuba_tpu.render.preview import vpl_preview
+
+    scene = cornell_box(width=16, height=16)
+    img = vpl_preview(scene, n_paths=32)
+    a = np.asarray(img)
+    assert a.shape == (16, 16, 3)
+    assert np.isfinite(a).all()
+    assert a.mean() > 0
