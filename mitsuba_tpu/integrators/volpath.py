@@ -217,7 +217,7 @@ def render_volpath(scene, medium, cfg: PathConfig, seed: int = 0, mis: bool = Tr
 # ---------------------------------------------------------------------------
 
 def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
-                        mis: bool = True):
+                        mis: bool = True, _debug_unroll: bool = False):
     """Volumetric path tracing with per-shape interior media.
 
     Every lane carries the index of the medium it is travelling through
@@ -305,17 +305,33 @@ def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
         eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(p_scatter).max(-1))
         shadow = Ray.make(p_scatter, ds.d, mint=eps, maxt=ds.dist * (1.0 - 1e-3))
         occluded = ray_test(scene.geom, shadow)
-        tr = stack_transmittance(ss, sa, ds.dist)
+        # degenerate emitter samples can carry NaN dist — sanitize before
+        # the exp (same cotangent-poisoning mechanism as the pdfs above)
+        base_ok = (cont_m | cont_s) & ds.valid & (ds.pdf > 0)
+        dist_safe = jnp.where(base_ok, ds.dist, 0.0)
+        tr = stack_transmittance(ss, sa, dist_safe)
         tr = jnp.where(inside[:, None], tr, 1.0)
 
         nee_ok = (cont_m | cont_s) & ds.valid & (ds.pdf > 0) & ~occluded
         scatter_pdf = jnp.where(in_medium, ph_pdf, b_pdf)
-        w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, scatter_pdf))
+        # sanitize BEFORE arithmetic: where() still evaluates the masked
+        # branch, and garbage pdfs (1e12+ from degenerate scatter points)
+        # overflow mi_weight's squares into inf/inf = NaN — which then
+        # poisons parameter gradients via zero-cotangent products
+        pdf_safe = jnp.where(nee_ok, ds.pdf, 1.0)
+        spdf_safe = jnp.where(nee_ok, scatter_pdf, 1.0)
+        w_nee = jnp.where(ds.delta, 1.0, mi_weight(pdf_safe, spdf_safe))
         f_scatter = jnp.where(in_medium[:, None], ph_val[:, None], fcos)
         thr_here = jnp.where(in_medium[:, None], thr_med, thr_surf)
-        contrib = thr_here * f_scatter * ds.value * tr * \
-            (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
-        L = L + jnp.where(nee_ok[:, None], contrib, 0.0)
+        gate = nee_ok[:, None]
+        contrib = (jnp.where(gate, thr_here, 0.0)
+                   * jnp.where(gate, f_scatter, 0.0)
+                   * jnp.where(gate, ds.value, 0.0)
+                   * jnp.where(gate, tr, 0.0)
+                   * jnp.where(nee_ok,
+                               w_nee / jnp.maximum(pdf_safe, 1e-20),
+                               0.0)[:, None])
+        L = L + contrib
 
         wo_phase, phase_p = phase_sample(HG, g_lane, ray.d, _detach(u_scatter))
         bs = bsdf_sample(
@@ -366,11 +382,15 @@ def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                 depth_count, cur), None
 
     body = jax.checkpoint(bounce) if cfg.remat else bounce
-    carry, _ = jax.lax.scan(
-        body, init,
-        (u_ch, u_dist, u_nee_sel, u_nee_pos, u_scatter, u_lobe, u_rr,
-         is_last, do_rr),
-    )
+    xs = (u_ch, u_dist, u_nee_sel, u_nee_pos, u_scatter, u_lobe, u_rr,
+          is_last, do_rr)
+    if _debug_unroll:   # python loop: per-line NaN locations under grad
+        carry = init
+        for i in range(d_max):
+            carry, _ = bounce(carry, jax.tree_util.tree_map(
+                lambda a: a[i], xs))
+    else:
+        carry, _ = jax.lax.scan(body, init, xs)
     return carry[0], {"avg_path_length": jnp.mean(carry[6].astype(jnp.float32))}
 
 

@@ -166,7 +166,12 @@ def sample_distance(med: MediumTable, o, d, max_dist, u_channel, u_dist,
         # strategy EBalance): pick channel uniformly, pdf = mean over channels
         ch = jnp.clip((u_channel * 3).astype(jnp.int32), 0, 2)
         st_ch = sigma_t[ch]
-        t = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / jnp.maximum(st_ch, 1e-20)
+        # branch-safe divisor: max(st, eps) has an O(1/eps^2) partial that
+        # overflows to inf for vacuum lanes, and 0-cotangent * inf = NaN in
+        # reverse mode — divide by 1 there instead (result masked anyway)
+        st_div = jnp.where(st_ch > 0, st_ch, 1.0)
+        t_raw = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / st_div
+        t = jnp.where(st_ch > 0, t_raw, max_dist)
         valid = (t < max_dist) & (st_ch > 0)
         t_clamped = jnp.minimum(t, max_dist)
         tr = jnp.exp(-sigma_t[None, :] * t_clamped[:, None])       # (N,3)
@@ -261,25 +266,42 @@ def stack_params(stack: MediumStack, cur):
         return z, z, jnp.zeros(n), jnp.zeros(n, bool)
     onehot = (cur[:, None] == jnp.arange(stack.n_media)[None, :]).astype(
         jnp.float32)
-    ss = onehot @ stack.sigma_s
-    sa = onehot @ stack.sigma_a
-    g = onehot @ stack.phase_g
-    return ss, sa, g, cur >= 0
+    inside = cur >= 0
+    # cotangent firewall: the @ contraction sums EVERY lane's cotangent
+    # into the parameter gradient, including garbage from masked vacuum
+    # lanes (inf partials x zero values -> NaN). Gating with where() kills
+    # masked-lane cotangents before they reach the matmul.
+    gate = inside[:, None]
+    ss = jnp.where(gate, onehot @ stack.sigma_s, 0.0)
+    sa = jnp.where(gate, onehot @ stack.sigma_a, 0.0)
+    g = jnp.where(inside, onehot @ stack.phase_g, 0.0)
+    return ss, sa, g, inside
 
 
 def stack_sample_distance(ss, sa, max_dist, u_channel, u_dist):
     """Per-lane closed-form homogeneous distance sampling (same estimator
-    as sample_distance's HOMOGENEOUS branch, with (N,3) sigmas)."""
+    as sample_distance's HOMOGENEOUS branch, with (N,3) sigmas).
+
+    Detached-sampling convention (matches the surface estimator): the
+    sampled distance and the sampling pdfs are stop-gradiented DECISIONS;
+    sigma-dependence flows only through the differentiable re-evaluation
+    of sigma_s·Tr.  This is also what keeps reverse-mode clean — the
+    decision chains (positions, loop geometry) carry no sigma partials."""
+    detach = jax.lax.stop_gradient
     st = ss + sa
     ch = jnp.clip((u_channel * 3).astype(jnp.int32), 0, 2)
     st_ch = jnp.take_along_axis(st, ch[:, None], axis=1)[:, 0]
-    t = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / jnp.maximum(st_ch, 1e-20)
-    valid = (t < max_dist) & (st_ch > 0)
-    t_cl = jnp.minimum(t, max_dist)
+    # branch-safe divisor: avoids 0 * inf = NaN in reverse mode on vacuum
+    st_div = jnp.where(st_ch > 0, st_ch, 1.0)
+    t_raw = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / st_div
+    t = jnp.where(st_ch > 0, t_raw, max_dist)
+    max_d = detach(max_dist)
+    t_cl = detach(jnp.minimum(t, max_d))
+    valid = detach(t < max_d) & (st_ch > 0)
     tr = jnp.exp(-st * t_cl[:, None])
-    pdf_t = jnp.mean(st * tr, axis=1)
-    tr_max = jnp.exp(-st * max_dist[:, None])
-    pdf_surf = jnp.mean(tr_max, axis=1)
+    pdf_t = detach(jnp.mean(st * tr, axis=1))
+    tr_max = jnp.exp(-st * max_d[:, None])
+    pdf_surf = detach(jnp.mean(tr_max, axis=1))
     weight = ss * tr / jnp.maximum(pdf_t, 1e-20)[:, None]
     surface_weight = tr_max / jnp.maximum(pdf_surf, 1e-20)[:, None]
     return dict(valid=valid, t=t_cl, weight=weight,

@@ -354,7 +354,9 @@ def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
         table = ip.make_shading_table(geom)
         r = ip.closest_hit_shaded(table, ray.o, ray.d, ray.mint, ray.maxt)
         valid = r["valid"]
-        p = ray.at(r["t"])
+        # finite position on miss: inf positions NaN downstream VJPs
+        # (NEE directions at escaped lanes), even though masked
+        p = ray.at(jnp.where(valid, r["t"], 1.0))
         frame = m.Frame.from_normal(r["sh_n"])
         wi = frame.to_local(-ray.d)
         prim = jnp.where(valid, r["prim"], 0)
@@ -389,7 +391,7 @@ def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
     else:
         t, u, v, prim, valid = _closest_brute(geom, ray)
     prim = jnp.where(valid, prim, 0)
-    p = ray.at(t)
+    p = ray.at(jnp.where(valid, t, 1.0))   # finite on miss (see above)
     w = 1.0 - u - v
     geo_n = m.normalize(jnp.cross(geom.e1[prim], geom.e2[prim]))
     sh_n = m.normalize(
@@ -430,7 +432,9 @@ def ray_intersect_and_test(geom: GeometryTables, ray: Ray,
             sray.o, sray.d, sray.mint, sray.maxt,
         )
         valid = r["valid"]
-        p = ray.at(r["t"])
+        # finite position on miss: inf positions NaN downstream VJPs
+        # (NEE directions at escaped lanes), even though masked
+        p = ray.at(jnp.where(valid, r["t"], 1.0))
         frame = m.Frame.from_normal(r["sh_n"])
         wi = frame.to_local(-ray.d)
         prim = jnp.where(valid, r["prim"], 0)
