@@ -158,3 +158,41 @@ def test_sigma_gradient_matches_beer_lambert():
     assert np.isfinite(g)
     # analytic: E = C exp(-2 sigma) -> dE/dsigma = -2 E
     assert abs(g - (-2.0 * e)) / (2.0 * e) < 0.15, (g, -2 * e)
+
+
+def test_inverse_recover_sigma():
+    """Volumetric inverse rendering: gradient descent on sigma_a recovers
+    the value that produced a target render (the medium analog of the
+    surface inverse tests in test_grad.py)."""
+    import jax
+
+    from mitsuba_tpu.core.types import replace
+
+    scene = _tank_scene((0.5,) * 3)
+    cfg = PathConfig(max_depth=6, spp=32, remat=False)
+    target, _ = render_volpath_media(scene, cfg, seed=11)
+    target = jax.lax.stop_gradient(target)
+
+    def loss(sa, seed):
+        sc = replace(scene, media=replace(scene.media,
+                                          sigma_a=jnp.full((1, 3), sa)))
+        img, _ = render_volpath_media(sc, cfg, seed=seed)
+        return jnp.mean((img - target) ** 2)
+
+    import optax
+
+    g = jax.jit(jax.grad(loss), static_argnums=1)
+    opt = optax.adam(optax.exponential_decay(0.15, 10, 0.5))
+    sa = jnp.asarray(0.1)
+    state = opt.init(sa)
+    l0 = float(loss(sa, 3))
+    tail = []
+    for i in range(30):
+        upd, state = opt.update(g(sa, 3 + i), state)
+        sa = jnp.clip(sa + upd, 0.01, 2.0)
+        if i >= 20:
+            tail.append(float(sa))
+    sa = float(np.mean(tail))   # Polyak tail average (per-step MC noise)
+    l1 = float(loss(sa, 99))
+    assert abs(sa - 0.5) < 0.15, sa
+    assert l1 < 0.3 * l0, (l0, l1)
