@@ -104,6 +104,18 @@ def _sorted_intersect(scene, ray):
     return jax.tree_util.tree_map(lambda x: x[inv], its_s)
 
 
+def _sorted_test(scene, ray):
+    """Morton-sorted shadow-ray occlusion query (tile coherence for the
+    streaming cluster kernel)."""
+    bmin = scene.geom.bvh_min[0]
+    bmax = scene.geom.bvh_max[0]
+    keys = _morton_keys(_detach(ray.o), _detach(ray.d), bmin, bmax)
+    order = jnp.argsort(keys)
+    inv = jnp.argsort(order)
+    ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
+    return ray_test(scene.geom, ray_s)[inv]
+
+
 def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
     """Trace radiance along the given camera rays. Returns (L, aux dict).
 
@@ -157,7 +169,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
             + jnp.sum(pend_ok.astype(jnp.float32))
         if cfg.sort_rays:
             its = _sorted_intersect(scene, ray)
-            s_occ = ray_test(scene.geom, pend_ray)
+            s_occ = _sorted_test(scene, pend_ray)
         else:
             its, s_occ = ray_intersect_and_test(scene.geom, ray, pend_ray)
         # resolve the previous bounce's NEE shadow ray

@@ -1,0 +1,362 @@
+"""Work-list streaming cluster intersector (v2) — VPU Moeller-Trumbore.
+
+The v1 kernel (ops/cluster_pallas.py) sweeps supercluster lists per
+1024-ray tile and intersects via a (512,10)x(10,128) Pluecker MXU product.
+Both choices measured out badly on the ~70k-tri bunny:
+
+  - camera rays tested ~18k triangles each (lists are tile- and
+    supercluster-granular), ~10x over the ~20 ns/ray budget of 50 Mrays/s;
+  - the Pluecker product is rank-10, so the MXU runs at 10/128 K
+    utilization, and exact f32 needs the 6-pass emulation: 12.8 us per
+    matmul measured (scripts/exp_kernel_cost.py) — while the VPU does the
+    same ~40 flops/pair in exact f32 at full rate.
+
+v2 therefore:
+
+  1. rays are sorted (Morton [+ direction octant]) and grouped in rows of
+     128 lanes;
+  2. an XLA cull slab-tests each row's conservative ray interval against
+     every *cluster* AABB (interval arithmetic as v1, but row- and
+     cluster-granular), then orders each row's surviving clusters
+     front-to-back by entry distance;
+  3. per-row lists are flattened into ONE static-capacity work list of
+     (row, cluster) items; a flat 1-D Pallas grid walks it. Consecutive
+     items share the row's ray/output blocks (Pallas re-fetches only when
+     the scalar-prefetch block index changes), so each ray row is DMA'd
+     once and each item DMAs one 8 KB cluster block;
+  4. the kernel runs Moeller-Trumbore on the VPU: 8 triangles per
+     sublane-chunk x 128 ray lanes, f32, running closest-hit accumulators
+     across chunks, one cross-sublane resolve per item;
+  5. in-kernel early exit: an item is skipped once every lane's current
+     best t is below the cluster's conservative entry distance
+     (front-to-back order makes this the ordered-traversal termination of
+     reference sahkdtree3.h:171, re-expressed row-wise).
+
+Work items are packed in one int32 (cid | first | valid | row) to keep the
+SMEM scalar-prefetch footprint small; t_near rides in a second int32 array
+(monotone float bits). If the work list would overflow its static capacity
+(pathologically incoherent rays), intersect.py falls back to the v1 sweep —
+correctness never depends on the cap.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mitsuba_tpu.render.clusters import CLUSTER_K
+
+LANES = 128
+_BIG = 3e38
+_DET_EPS = 1e-12
+
+# packed work-item layout (int32): [0:14] cid, [14] first, [15] valid,
+# [16:31] row
+_CID_BITS = 14
+_FIRST_BIT = 1 << _CID_BITS
+_VALID_BIT = 1 << (_CID_BITS + 1)
+_ROW_SHIFT = _CID_BITS + 2
+MAX_CLUSTERS = _FIRST_BIT
+MAX_ROWS = 1 << (31 - _ROW_SHIFT)
+
+
+# ---------------------------------------------------------------------------
+# XLA cull: per-row front-to-back cluster lists -> flat work list
+# ---------------------------------------------------------------------------
+
+def _interval_mul(alo, ahi, blo, bhi):
+    p1, p2, p3, p4 = alo * blo, alo * bhi, ahi * blo, ahi * bhi
+    return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "w_cap"))
+def build_worklist(o, d, mint, maxt, cl_bmin, cl_bmax,
+                   n_rows: int, w_cap: int):
+    """Build the flat (row, cluster) work list.
+
+    o, d: (N, 3) with N = n_rows*128 (pre-padded); cl_bmin/cl_bmax: (C, 3).
+    Returns (items (W,) i32 packed, tnear_bits (W,) i32, total (,) i32).
+    Items are row-major and front-to-back within each row; every row
+    contributes >= 1 item (a row with zero candidates gets one invalid
+    "first" item so the kernel initialises its outputs)."""
+    C = cl_bmin.shape[0]
+    ot = o.reshape(n_rows, LANES, 3)
+    dt = d.reshape(n_rows, LANES, 3)
+    olo, ohi = ot.min(axis=1), ot.max(axis=1)
+    dlo, dhi = dt.min(axis=1), dt.max(axis=1)
+    mt = maxt.reshape(n_rows, LANES)
+    mt_hi = jnp.where(mt > 0, mt, 0.0).max(axis=1)
+
+    spans = (dlo <= 0) & (dhi >= 0)
+    safe_lo = jnp.where(spans, 1.0, dlo)
+    safe_hi = jnp.where(spans, 1.0, dhi)
+    ilo = jnp.clip(jnp.minimum(1.0 / safe_lo, 1.0 / safe_hi), -_BIG, _BIG)
+    ihi = jnp.clip(jnp.maximum(1.0 / safe_lo, 1.0 / safe_hi), -_BIG, _BIG)
+
+    a_lo = cl_bmin[None] - ohi[:, None]              # (n_rows, C, 3)
+    a_hi = cl_bmin[None] - olo[:, None]
+    b_lo = cl_bmax[None] - ohi[:, None]
+    b_hi = cl_bmax[None] - olo[:, None]
+    ta_lo, ta_hi = _interval_mul(a_lo, a_hi, ilo[:, None], ihi[:, None])
+    tb_lo, tb_hi = _interval_mul(b_lo, b_hi, ilo[:, None], ihi[:, None])
+    ent = jnp.minimum(ta_lo, tb_lo)
+    ext = jnp.maximum(ta_hi, tb_hi)
+    ent = jnp.where(spans[:, None], -_BIG, ent)
+    ext = jnp.where(spans[:, None], _BIG, ext)
+    t_near = jnp.maximum(ent.max(axis=-1), 0.0)      # (n_rows, C)
+    t_far = jnp.minimum(ext.min(axis=-1), mt_hi[:, None])
+    hit = t_near <= t_far
+
+    # front-to-back order per row
+    key = jnp.where(hit, t_near, _BIG)
+    key_s, order = jax.lax.sort_key_val(
+        key, jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (n_rows, C)))
+    counts = jnp.sum(hit, axis=-1).astype(jnp.int32)  # (n_rows,)
+
+    # flat packing: row r owns slots [off[r], off[r] + max(counts[r], 1))
+    eff = jnp.maximum(counts, 1)
+    off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(eff)]).astype(jnp.int32)
+    total = off[-1]
+    w = jnp.arange(w_cap, dtype=jnp.int32)
+    r = jnp.searchsorted(off[1:], w, side="right").astype(jnp.int32)
+    r = jnp.minimum(r, n_rows - 1)
+    k = w - off[r]
+    real = w < total
+    valid = real & (k < counts[r])
+    first = real & (k == 0)
+    kc = jnp.minimum(k, C - 1)
+    cid = order[r, kc]
+    items = (cid.astype(jnp.int32)
+             | jnp.where(first, _FIRST_BIT, 0)
+             | jnp.where(valid, _VALID_BIT, 0)
+             | (r << _ROW_SHIFT))
+    # padding items: repeat the final row/cid so no DMA is issued
+    pad_item = ((n_rows - 1) << _ROW_SHIFT) | cid[-1]
+    items = jnp.where(real, items, pad_item)
+    tnear_bits = jnp.where(valid, key_s[r, kc], _BIG).view(jnp.int32)
+    return items, tnear_bits, total
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels: VPU Moeller-Trumbore over 8-triangle sublane chunks
+# ---------------------------------------------------------------------------
+
+def _f32_bits(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _mt_chunks(tri_ref, rays, mnb, t_cap):
+    """Run MT over all CLUSTER_K/8 chunks of the cluster block.
+
+    rays: (8,128) packed ray block; mnb: (1,128) mint; t_cap: (1,128)
+    current best t (exclusive upper bound). Returns (t_run, k_run, u_run,
+    v_run) as (8,128) running accumulators over chunks (k_run = chunk
+    index, sublane = triangle-in-chunk)."""
+    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    t_run = jnp.full((8, LANES), _BIG, jnp.float32)
+    k_run = jnp.zeros((8, LANES), jnp.int32)
+    u_run = jnp.zeros((8, LANES), jnp.float32)
+    v_run = jnp.zeros((8, LANES), jnp.float32)
+    for j in range(CLUSTER_K // 8):
+        s = slice(j * 8, j * 8 + 8)
+        v0x = tri_ref[0, s, 0:1]
+        v0y = tri_ref[0, s, 1:2]
+        v0z = tri_ref[0, s, 2:3]
+        e1x = tri_ref[0, s, 3:4]
+        e1y = tri_ref[0, s, 4:5]
+        e1z = tri_ref[0, s, 5:6]
+        e2x = tri_ref[0, s, 6:7]
+        e2y = tri_ref[0, s, 7:8]
+        e2z = tri_ref[0, s, 8:9]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        ok_det = jnp.abs(det) > _DET_EPS
+        inv = 1.0 / jnp.where(ok_det, det, 1.0)
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        ok = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t > mnb) & (t < t_cap) & (t < t_run))
+        t_run = jnp.where(ok, t, t_run)
+        k_run = jnp.where(ok, j, k_run)
+        u_run = jnp.where(ok, u, u_run)
+        v_run = jnp.where(ok, v, v_run)
+    return t_run, k_run, u_run, v_run
+
+
+_SUBLANE_IOTA = None
+
+
+def _prim_cand(k_run):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    return k_run * 8 + sub
+
+
+def _make_closest_kernel():
+    def kernel(items_ref, tnear_ref, starts_ref, tri_ref, rays,
+               t_o, u_o, v_o, p_o):
+        w = pl.program_id(0)
+        item = items_ref[w]
+
+        @pl.when((item & _FIRST_BIT) != 0)
+        def _init():
+            t_o[...] = rays[0, 7:8, :]                  # maxt
+            u_o[...] = jnp.zeros_like(u_o)
+            v_o[...] = jnp.zeros_like(v_o)
+            p_o[...] = jnp.full_like(p_o, -1)
+
+        # early exit: best-so-far across the row vs cluster entry distance
+        t_best = jnp.max(t_o[0, :])
+
+        @pl.when(((item & _VALID_BIT) != 0)
+                 & (tnear_ref[w] < _f32_bits(t_best)))
+        def _work():
+            cid = item & (_FIRST_BIT - 1)
+            t_run, k_run, u_run, v_run = _mt_chunks(
+                tri_ref, rays[0], rays[0, 6:7, :], t_o[...])
+            tmin = jnp.min(t_run, axis=0, keepdims=True)
+            improved = tmin < t_o[...]
+            # unique winner: smallest prim among t==tmin
+            pc = _prim_cand(k_run)
+            win = t_run <= tmin
+            psel = jnp.min(jnp.where(win, pc, jnp.int32(2 ** 30)),
+                           axis=0, keepdims=True)
+            w2 = (win & (pc == psel)).astype(jnp.float32)
+            usel = jnp.sum(w2 * u_run, axis=0, keepdims=True)
+            vsel = jnp.sum(w2 * v_run, axis=0, keepdims=True)
+            start_c = starts_ref[cid]
+            t_o[...] = jnp.where(improved, tmin, t_o[...])
+            u_o[...] = jnp.where(improved, usel, u_o[...])
+            v_o[...] = jnp.where(improved, vsel, v_o[...])
+            p_o[...] = jnp.where(improved, start_c + psel, p_o[...])
+    return kernel
+
+
+def _make_any_kernel():
+    def kernel(items_ref, tnear_ref, starts_ref, tri_ref, rays, occ_o):
+        w = pl.program_id(0)
+        item = items_ref[w]
+
+        @pl.when((item & _FIRST_BIT) != 0)
+        def _init():
+            occ_o[...] = jnp.zeros_like(occ_o)
+
+        live = jnp.min(occ_o[0, :])
+
+        @pl.when(((item & _VALID_BIT) != 0) & (live == 0))
+        def _work():
+            t_run, _, _, _ = _mt_chunks(
+                tri_ref, rays[0], rays[0, 6:7, :], rays[0, 7:8, :])
+            hit = t_run < _BIG
+            row_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
+            occ_o[...] = occ_o[...] | row_hit
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host glue
+# ---------------------------------------------------------------------------
+
+def _pack_rays(o, d, mint, maxt):
+    n = o.shape[0]
+    n_rows = pl.cdiv(n, LANES)
+    pad = n_rows * LANES - n
+
+    def plane(x, fill):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+            n_rows, LANES)
+
+    rays = jnp.stack([
+        plane(o[:, 0], 0), plane(o[:, 1], 0), plane(o[:, 2], 0),
+        plane(d[:, 0], 0), plane(d[:, 1], 0), plane(d[:, 2], 1),
+        plane(mint, 0), plane(maxt, -1.0),
+    ], axis=1)                                       # (n_rows, 8, 128)
+    return rays, n, n_rows
+
+
+def _row_spec():
+    return pl.BlockSpec(
+        (1, 8, LANES),
+        lambda w, items, tnear, starts: (items[w] >> _ROW_SHIFT, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _out_spec():
+    return pl.BlockSpec(
+        (1, LANES),
+        lambda w, items, tnear, starts: (items[w] >> _ROW_SHIFT, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _tri_spec():
+    return pl.BlockSpec(
+        (1, CLUSTER_K, 16),
+        lambda w, items, tnear, starts: (items[w] & (_FIRST_BIT - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _call(kernel, out_dtypes, geom_cl, o, d, mint, maxt, w_factor,
+          interpret=False):
+    rays, n, n_rows = _pack_rays(o, d, mint, maxt)
+    w_cap = n_rows * w_factor
+    items, tnear, total = build_worklist(
+        rays[:, 0:3].transpose(0, 2, 1).reshape(-1, 3),
+        rays[:, 3:6].transpose(0, 2, 1).reshape(-1, 3),
+        rays[:, 6].reshape(-1), rays[:, 7].reshape(-1),
+        geom_cl["bmin"], geom_cl["bmax"], n_rows, w_cap)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,          # items, tnear, starts
+            grid=(w_cap,),
+            in_specs=[_tri_spec(), _row_spec()],
+            out_specs=[_out_spec()] * len(out_dtypes),
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_rows, LANES), dt)
+                   for dt in out_dtypes],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(items, tnear, geom_cl["tri_start"], geom_cl["tri"], rays)
+    return [x.reshape(-1)[:n] for x in outs], total
+
+
+@functools.partial(jax.jit, static_argnames=("w_factor", "interpret"))
+def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
+               interpret: bool = False):
+    """Closest hit. geom_cl: dict with tri (C,CLUSTER_K,16) f32,
+    tri_start (C,) i32, bmin/bmax (C,3) f32.
+    Returns (t, u, v, prim, valid, overflowed)."""
+    (t, u, v, prim), total = _call(
+        _make_closest_kernel(),
+        [jnp.float32, jnp.float32, jnp.float32, jnp.int32],
+        geom_cl, o, d, mint, maxt, w_factor, interpret)
+    valid = prim >= 0
+    n_rows = pl.cdiv(o.shape[0], LANES)
+    return (jnp.where(valid, t, jnp.inf), u, v, prim, valid,
+            total > n_rows * w_factor)
+
+
+@functools.partial(jax.jit, static_argnames=("w_factor", "interpret"))
+def wl_any(geom_cl, o, d, mint, maxt, w_factor: int = 16,
+           interpret: bool = False):
+    """Shadow/any-hit query. Returns (occluded bool mask, overflowed)."""
+    (occ,), total = _call(
+        _make_any_kernel(), [jnp.int32], geom_cl, o, d, mint, maxt,
+        w_factor, interpret)
+    n_rows = pl.cdiv(o.shape[0], LANES)
+    return occ.astype(bool), total > n_rows * w_factor

@@ -54,7 +54,18 @@ class GeometryTables:
     # 14-records-per-128-lane-row layouts for the Pallas packet kernel
     bvh_rows: jnp.ndarray = None     # (ceil(M/14), 128)
     tri_rows: jnp.ndarray = None     # (ceil(T/14), 128)
+    # streaming cluster tables (ops/cluster_pallas.py; backend="cluster")
+    cl_G: jnp.ndarray = None         # (C_s, 8*512, 16) Pluecker rows
+    cl_aabb: jnp.ndarray = None      # (C_s, 8, 8) per-cluster boxes
+    cl_start: jnp.ndarray = None     # (C,) first-tri index per cluster
+    cl_sc_bmin: jnp.ndarray = None   # (C_s, 3) supercluster bounds
+    cl_sc_bmax: jnp.ndarray = None   # (C_s, 3)
     backend: str = static_field(default="brute")
+
+    @property
+    def cluster_tables(self):
+        return dict(G=self.cl_G, aabb=self.cl_aabb, tri_start=self.cl_start,
+                    sc_bmin=self.cl_sc_bmin, sc_bmax=self.cl_sc_bmax)
 
     @property
     def n_tris(self):
@@ -64,7 +75,9 @@ class GeometryTables:
 def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
     """Assemble GeometryTables from [(TriMesh, material_id, emitter_id), ...].
 
-    backend: 'brute' | 'bvh' | 'auto' (bvh above 64 triangles).
+    backend: 'brute' | 'bvh' | 'cluster' | 'auto' (cluster above 64
+    triangles — the streaming cluster kernel on TPU, skip-link BVH walk
+    as the CPU fallback).
     """
     vs, fs, ns, uvs, mids, eids, sids = [], [], [], [], [], [], []
     voff = 0
@@ -99,8 +112,8 @@ def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
     sid = np.concatenate(sids)
 
     if backend == "auto":
-        backend = "bvh" if f.shape[0] > 64 else "brute"
-    if backend == "bvh":
+        backend = "cluster" if f.shape[0] > 64 else "brute"
+    if backend in ("bvh", "cluster"):
         bvh = build_bvh(v, f)
     else:
         # brute force needs no tree: single leaf covering everything
@@ -118,7 +131,23 @@ def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
     mid, eid, sid = mid[p], eid[p], sid[p]
 
     tri = v[f]  # (T,3,3)
+    cl = {}
+    if backend == "cluster":
+        from mitsuba_tpu.render.clusters import (
+            build_cluster_tables, cut_clusters,
+        )
+
+        ranges = cut_clusters(bvh.first, bvh.count, bvh.skip, f.shape[0])
+        ct = build_cluster_tables(
+            tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0], ranges)
+        cl = dict(
+            cl_G=jnp.asarray(ct.G), cl_aabb=jnp.asarray(ct.aabb),
+            cl_start=jnp.asarray(ct.tri_start),
+            cl_sc_bmin=jnp.asarray(ct.sc_bmin),
+            cl_sc_bmax=jnp.asarray(ct.sc_bmax),
+        )
     return GeometryTables(
+        **cl,
         v0=jnp.asarray(tri[:, 0]),
         e1=jnp.asarray(tri[:, 1] - tri[:, 0]),
         e2=jnp.asarray(tri[:, 2] - tri[:, 0]),
@@ -347,7 +376,7 @@ def _use_pallas() -> bool:
 def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
     """Closest-hit query → full Intersection record (reference
     skdtree.h:352 fillIntersectionRecord equivalent)."""
-    if geom.backend != "bvh" and _use_pallas():
+    if geom.backend == "brute" and _use_pallas():
         # fused kernel: shading record interpolated on-chip, no HBM gathers
         from mitsuba_tpu.ops import intersect_pallas as ip
 
@@ -376,18 +405,22 @@ def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
             emitter_id=jnp.where(valid, r["emitter_id"], -1),
             shape_id=jnp.where(valid, r["shape_id"], -1),
         )
-    if geom.backend == "bvh":
-        if _use_pallas():
-            from mitsuba_tpu.ops import bvh_pallas as bp
+    if geom.backend == "cluster" and _use_pallas():
+        from mitsuba_tpu.ops import cluster_pallas as cp
 
-            t, u, v, prim, valid = bp.bvh_closest(
-                geom.bvh_rows, geom.tri_rows, ray.o, ray.d, ray.mint,
-                ray.maxt, n_nodes=geom.bvh_min.shape[0],
-                n_tris=geom.n_tris,
-            )
-            prim = jnp.where(valid, prim, 0)
-        else:
-            t, u, v, prim, valid = _closest_bvh(geom, ray)
+        t, u, v, prim, valid = cp.cluster_closest(
+            geom.cluster_tables, ray.o, ray.d, ray.mint, ray.maxt)
+    elif geom.backend == "bvh" and _use_pallas():
+        from mitsuba_tpu.ops import bvh_pallas as bp
+
+        t, u, v, prim, valid = bp.bvh_closest(
+            geom.bvh_rows, geom.tri_rows, ray.o, ray.d, ray.mint,
+            ray.maxt, n_nodes=geom.bvh_min.shape[0],
+            n_tris=geom.n_tris,
+        )
+        prim = jnp.where(valid, prim, 0)
+    elif geom.backend in ("bvh", "cluster"):
+        t, u, v, prim, valid = _closest_bvh(geom, ray)
     else:
         t, u, v, prim, valid = _closest_brute(geom, ray)
     prim = jnp.where(valid, prim, 0)
@@ -423,7 +456,7 @@ def ray_intersect_and_test(geom: GeometryTables, ray: Ray,
     """Fused closest-hit (ray) + shadow any-hit (sray) — one Pallas launch
     with a shared triangle loop on the TPU brute path; separate queries
     elsewhere.  Returns (Intersection, occluded)."""
-    if geom.backend != "bvh" and _use_pallas():
+    if geom.backend == "brute" and _use_pallas():
         from mitsuba_tpu.ops import intersect_pallas as ip
 
         table = ip.make_shading_table(geom)
@@ -459,7 +492,12 @@ def ray_intersect_and_test(geom: GeometryTables, ray: Ray,
 def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
     """Any-hit (shadow ray) query → bool occlusion mask (reference
     scene.h:241 isOccluded equivalent)."""
-    if geom.backend == "bvh":
+    if geom.backend == "cluster" and _use_pallas():
+        from mitsuba_tpu.ops import cluster_pallas as cp
+
+        return cp.cluster_any(
+            geom.cluster_tables, ray.o, ray.d, ray.mint, ray.maxt)
+    if geom.backend in ("bvh", "cluster"):
         if _use_pallas():
             from mitsuba_tpu.ops import bvh_pallas as bp
 

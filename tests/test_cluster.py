@@ -1,0 +1,147 @@
+"""Cluster streaming intersector: build + kernel correctness vs brute force.
+
+The Pallas kernels run in interpret mode on CPU; equality against the
+all-pairs Moeller-Trumbore oracle (render/intersect.py::_closest_brute)
+is the correctness gate (same role as the reference's kd-tree vs
+brute-force checks in src/tests/test_kd.cpp)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.render import mesh as mesh_mod
+from mitsuba_tpu.render.bvh import build_bvh
+from mitsuba_tpu.render.clusters import (
+    CLUSTER_K, build_cluster_tables, cut_clusters,
+)
+from mitsuba_tpu.render.records import Ray
+
+
+def _make_geom(n_sub=24):
+    m = mesh_mod.make_sphere_mesh([0.0, 0.0, 0.0], 1.0, n_sub, n_sub * 2)
+    v = np.asarray(m.vertices, np.float32)
+    f = np.asarray(m.faces, np.int64)
+    bvh = build_bvh(v, f)
+    tri = v[f[bvh.perm]]
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    return v0, e1, e2, bvh
+
+
+def _cluster_dict(v0, e1, e2, bvh):
+    ranges = cut_clusters(bvh.first, bvh.count, bvh.skip, v0.shape[0])
+    ct = build_cluster_tables(v0, e1, e2, ranges)
+    return dict(
+        G=jnp.asarray(ct.G), aabb=jnp.asarray(ct.aabb),
+        tri_start=jnp.asarray(ct.tri_start),
+        sc_bmin=jnp.asarray(ct.sc_bmin), sc_bmax=jnp.asarray(ct.sc_bmax),
+    ), ranges
+
+
+def _rand_rays(n, seed=0, scale=3.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-scale, scale, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_cut_clusters_cover():
+    v0, e1, e2, bvh = _make_geom()
+    t = v0.shape[0]
+    ranges = cut_clusters(bvh.first, bvh.count, bvh.skip, t)
+    got = sorted(ranges)
+    pos = 0
+    for s, c in got:
+        assert s == pos and 0 < c <= CLUSTER_K
+        pos += c
+    assert pos == t
+
+
+def test_cluster_closest_matches_brute():
+    from mitsuba_tpu.ops.cluster_pallas import cluster_closest
+    from mitsuba_tpu.render.intersect import _mt_hit
+
+    v0, e1, e2, bvh = _make_geom()
+    cl, _ = _cluster_dict(v0, e1, e2, bvh)
+    n = 512
+    o, d = _rand_rays(n, seed=1)
+    mint = jnp.full(n, 1e-4)
+    maxt = jnp.full(n, 1e9)
+    t, u, v, prim, valid = cluster_closest(cl, o, d, mint, maxt,
+                                           interpret=True)
+
+    tb, ub, vb, hb = _mt_hit(
+        o[:, None], d[:, None], jnp.asarray(v0)[None], jnp.asarray(e1)[None],
+        jnp.asarray(e2)[None], mint[:, None], maxt[:, None])
+    t_masked = jnp.where(hb, tb, jnp.inf)
+    best = jnp.argmin(t_masked, axis=1)
+    rows = jnp.arange(n)
+    t_ref = t_masked[rows, best]
+    valid_ref = jnp.isfinite(t_ref)
+
+    assert np.array_equal(np.asarray(valid), np.asarray(valid_ref))
+    ok = np.asarray(valid_ref)
+    np.testing.assert_allclose(np.asarray(t)[ok], np.asarray(t_ref)[ok],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(u)[ok],
+                               np.asarray(ub[rows, best])[ok],
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(v)[ok],
+                               np.asarray(vb[rows, best])[ok],
+                               rtol=5e-3, atol=5e-4)
+    assert np.array_equal(np.asarray(prim)[ok], np.asarray(best)[ok])
+
+
+def test_cluster_any_matches_brute():
+    from mitsuba_tpu.ops.cluster_pallas import cluster_any
+    from mitsuba_tpu.render.intersect import _mt_hit
+
+    v0, e1, e2, bvh = _make_geom()
+    cl, _ = _cluster_dict(v0, e1, e2, bvh)
+    n = 512
+    o, d = _rand_rays(n, seed=2)
+    mint = jnp.full(n, 1e-4)
+    maxt = jnp.full(n, 2.5)
+    occ = cluster_any(cl, o, d, mint, maxt, interpret=True)
+    _, _, _, hb = _mt_hit(
+        o[:, None], d[:, None], jnp.asarray(v0)[None], jnp.asarray(e1)[None],
+        jnp.asarray(e2)[None], mint[:, None], maxt[:, None])
+    occ_ref = jnp.any(hb, axis=1)
+    assert np.array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
+def test_tile_lists_conservative():
+    """Every supercluster actually hit by some ray must be listed."""
+    from mitsuba_tpu.ops.cluster_pallas import (
+        BM, TILE, build_tile_lists, _pack_rays)
+
+    v0, e1, e2, bvh = _make_geom()
+    cl, _ = _cluster_dict(v0, e1, e2, bvh)
+    n = TILE * 2
+    o, d = _rand_rays(n, seed=3)
+    mint = jnp.full(n, 1e-4)
+    maxt = jnp.full(n, 1e9)
+    (ox, oy, oz, dx, dy, dz, mn, mx, _, m) = _pack_rays(o, d, mint, maxt)
+    n_tiles = int(m) // BM
+    ids, counts = build_tile_lists(
+        jnp.stack([p.reshape(-1) for p in (ox, oy, oz)], -1),
+        jnp.stack([p.reshape(-1) for p in (dx, dy, dz)], -1),
+        mx.reshape(-1), cl["sc_bmin"], cl["sc_bmax"], n_tiles)
+    ids = np.asarray(ids)
+    counts = np.asarray(counts)
+    # reference: exact per-ray slab hit vs each supercluster box
+    on = np.asarray(o).reshape(n_tiles, TILE, 3)
+    dn = np.asarray(d).reshape(n_tiles, TILE, 3)
+    bmin = np.asarray(cl["sc_bmin"])
+    bmax = np.asarray(cl["sc_bmax"])
+    inv = 1.0 / np.where(np.abs(dn) < 1e-12, 1e-12, dn)
+    for ti in range(n_tiles):
+        listed = set(ids[ti, :counts[ti]].tolist())
+        t0 = (bmin[None, :, :] - on[ti][:, None]) * inv[ti][:, None]
+        t1 = (bmax[None, :, :] - on[ti][:, None]) * inv[ti][:, None]
+        tn = np.minimum(t0, t1).max(-1)
+        tf = np.maximum(t0, t1).min(-1)
+        really_hit = set(np.nonzero((tn <= tf) & (tf > 0))[1].tolist())
+        assert really_hit <= listed

@@ -163,21 +163,30 @@ def test_sigma_gradient_matches_beer_lambert():
 def test_inverse_recover_sigma():
     """Volumetric inverse rendering: gradient descent on sigma_a recovers
     the value that produced a target render (the medium analog of the
-    surface inverse tests in test_grad.py)."""
+    surface inverse tests in test_grad.py).
+
+    The loss is the *cross* estimator mean((A-t)*(B-t)) over two
+    independently-seeded renders A, B: its expectation is the squared bias
+    (E[img]-t)^2 alone. A plain per-pixel MSE against a noisy target is
+    minimized where d(bias^2)/dsigma = -dVar/dsigma, i.e. NOT at the true
+    sigma — at spp=32 on an 8x8 film that shift is ~0.2 (round-1 failure;
+    the gradient itself matches finite differences, scripts/exp_media_grad.py)."""
     import jax
 
     from mitsuba_tpu.core.types import replace
 
     scene = _tank_scene((0.5,) * 3)
     cfg = PathConfig(max_depth=6, spp=32, remat=False)
-    target, _ = render_volpath_media(scene, cfg, seed=11)
+    target = jnp.mean(jnp.stack([
+        render_volpath_media(scene, cfg, seed=s)[0] for s in (11, 12)]), 0)
     target = jax.lax.stop_gradient(target)
 
     def loss(sa, seed):
         sc = replace(scene, media=replace(scene.media,
                                           sigma_a=jnp.full((1, 3), sa)))
-        img, _ = render_volpath_media(sc, cfg, seed=seed)
-        return jnp.mean((img - target) ** 2)
+        a, _ = render_volpath_media(sc, cfg, seed=2 * seed)
+        b, _ = render_volpath_media(sc, cfg, seed=2 * seed + 1)
+        return jnp.mean((a - target) * (b - target))
 
     import optax
 
