@@ -201,6 +201,22 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         w_bsdf = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, lum_pdf))
         L = L + jnp.where(active[:, None], throughput * le * w_bsdf[:, None], 0.0)
 
+        # --- subsurface scattering (reference: integrators call
+        # Subsurface::Lo at every surface interaction, path.cpp via
+        # its.hasSubsurface(); here a masked dipole gather per entry) ---
+        if scene.subsurface is not None:
+            from mitsuba_tpu.subsurface.dipole import scene_ss_lo
+
+            ss = scene.subsurface
+            mclip_ss = jnp.clip(its.material_id, 0,
+                                ss.mat_ss.shape[0] - 1)
+            ssid = ss.mat_ss[mclip_ss]
+            wo_cos = jnp.abs(its.wi[..., 2])
+            for s_i in range(ss.n_entries):
+                lo = scene_ss_lo(ss, s_i, its.p, wo_cos)
+                sel = active & (ssid == s_i)
+                L = L + jnp.where(sel[:, None], throughput * lo, 0.0)
+
         # beyond here only matters when this is not the final depth
         cont = active & ~is_last
 
@@ -299,6 +315,13 @@ def render(scene, cfg: PathConfig, seed: int = 0):
     reconstruction filter. Wavefront layout: lane = pixel * spp + sample."""
     from mitsuba_tpu.render.film import develop
     from mitsuba_tpu.render.rfilter import make_rfilter
+
+    if scene.subsurface is not None and scene.subsurface.irradiance is None:
+        from mitsuba_tpu.core.types import replace as _replace
+        from mitsuba_tpu.subsurface.dipole import prepare_scene_irradiance
+
+        scene = _replace(scene,
+                         subsurface=prepare_scene_irradiance(scene, seed=seed))
 
     w, h, spp = scene.width, scene.height, cfg.spp
     n = w * h * spp

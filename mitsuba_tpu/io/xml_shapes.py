@@ -197,6 +197,41 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
         ) if lum is None else mat_cache.setdefault(
             "__black__", builder.materials.lambertian((0.0, 0.0, 0.0))
         )
+    ssn = _find(shape_node, "subsurface")
+    if ssn is not None:
+        # reference <subsurface type="dipole"> (dipole.cpp props): sigmaS/
+        # sigmaA or sigmaT+albedo, eta or intIOR/extIOR, g, ssFactor.
+        if ssn["type"] not in ("dipole", ""):
+            raise ValueError(
+                f"unsupported subsurface type '{ssn['type']}' "
+                "(dipole only; multipole/adipole profiles are available "
+                "programmatically via subsurface/dipole.py)")
+        sp = ssn["props"]
+
+        def _sp3(name, default):
+            v = sp.get(name, default)
+            if isinstance(v, (int, float)):
+                return (float(v),) * 3
+            return tuple(v)
+
+        if "sigmaT" in sp or "albedo" in sp:
+            st = _sp3("sigmaT", 1.0)
+            al = _sp3("albedo", 0.5)
+            ss_c = tuple(t_ * a_ for t_, a_ in zip(st, al))
+            sa_c = tuple(t_ - s_ for t_, s_ in zip(st, ss_c))
+        else:
+            ss_c = _sp3("sigmaS", (2.6, 3.2, 3.9))
+            sa_c = _sp3("sigmaA", (0.0021, 0.0041, 0.0071))
+        eta = float(sp.get("eta", float(sp.get("intIOR", 1.33))
+                    / float(sp.get("extIOR", 1.0))))
+        # subsurface binds to the *material* here; a cached/ref'd BSDF
+        # shared with non-SSS shapes must not inherit it -> fresh copy
+        if bsdf is not None:
+            mid = material_fn(builder, bsdf, {})
+        builder.add_subsurface(
+            mid, ss_c, sa_c, g=float(sp.get("g", 0.0)), eta=eta,
+            ss_factor=_sp3("ssFactor", 1.0),
+            n_points=int(sp.get("irrSamples", 512)))
     if lum is not None:
         if lum["type"] not in ("area", ""):
             raise ValueError("only area luminaires can be attached to shapes")

@@ -47,7 +47,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mitsuba_tpu.render.clusters import CLUSTER_K
 
 LANES = 128
 _BIG = 3e38
@@ -150,8 +149,8 @@ def _f32_bits(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _mt_chunks(tri_ref, rays, mnb, t_cap):
-    """Run MT over all CLUSTER_K/8 chunks of the cluster block.
+def _mt_chunks(tri_ref, rays, mnb, t_cap, k_cl):
+    """Run MT over all k_cl/8 chunks of the cluster block.
 
     rays: (8,128) packed ray block; mnb: (1,128) mint; t_cap: (1,128)
     current best t (exclusive upper bound). Returns (t_run, k_run, u_run,
@@ -163,7 +162,7 @@ def _mt_chunks(tri_ref, rays, mnb, t_cap):
     k_run = jnp.zeros((8, LANES), jnp.int32)
     u_run = jnp.zeros((8, LANES), jnp.float32)
     v_run = jnp.zeros((8, LANES), jnp.float32)
-    for j in range(CLUSTER_K // 8):
+    for j in range(k_cl // 8):
         s = slice(j * 8, j * 8 + 8)
         v0x = tri_ref[0, s, 0:1]
         v0y = tri_ref[0, s, 1:2]
@@ -206,7 +205,7 @@ def _prim_cand(k_run):
     return k_run * 8 + sub
 
 
-def _make_closest_kernel():
+def _make_closest_kernel(k_cl):
     def kernel(items_ref, tnear_ref, starts_ref, tri_ref, rays,
                t_o, u_o, v_o, p_o):
         w = pl.program_id(0)
@@ -227,7 +226,7 @@ def _make_closest_kernel():
         def _work():
             cid = item & (_FIRST_BIT - 1)
             t_run, k_run, u_run, v_run = _mt_chunks(
-                tri_ref, rays[0], rays[0, 6:7, :], t_o[...])
+                tri_ref, rays[0], rays[0, 6:7, :], t_o[...], k_cl)
             tmin = jnp.min(t_run, axis=0, keepdims=True)
             improved = tmin < t_o[...]
             # unique winner: smallest prim among t==tmin
@@ -246,7 +245,7 @@ def _make_closest_kernel():
     return kernel
 
 
-def _make_any_kernel():
+def _make_any_kernel(k_cl):
     def kernel(items_ref, tnear_ref, starts_ref, tri_ref, rays, occ_o):
         w = pl.program_id(0)
         item = items_ref[w]
@@ -260,7 +259,7 @@ def _make_any_kernel():
         @pl.when(((item & _VALID_BIT) != 0) & (live == 0))
         def _work():
             t_run, _, _, _ = _mt_chunks(
-                tri_ref, rays[0], rays[0, 6:7, :], rays[0, 7:8, :])
+                tri_ref, rays[0], rays[0, 6:7, :], rays[0, 7:8, :], k_cl)
             hit = t_run < _BIG
             row_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
             occ_o[...] = occ_o[...] | row_hit
@@ -302,9 +301,9 @@ def _out_spec():
         memory_space=pltpu.VMEM)
 
 
-def _tri_spec():
+def _tri_spec(k_cl):
     return pl.BlockSpec(
-        (1, CLUSTER_K, 16),
+        (1, k_cl, 16),
         lambda w, items, tnear, starts: (items[w] & (_FIRST_BIT - 1), 0, 0),
         memory_space=pltpu.VMEM)
 
@@ -312,6 +311,7 @@ def _tri_spec():
 def _call(kernel, out_dtypes, geom_cl, o, d, mint, maxt, w_factor,
           interpret=False):
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
+    k_cl = geom_cl["tri"].shape[1]
     w_cap = n_rows * w_factor
     items, tnear, total = build_worklist(
         rays[:, 0:3].transpose(0, 2, 1).reshape(-1, 3),
@@ -323,7 +323,7 @@ def _call(kernel, out_dtypes, geom_cl, o, d, mint, maxt, w_factor,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,          # items, tnear, starts
             grid=(w_cap,),
-            in_specs=[_tri_spec(), _row_spec()],
+            in_specs=[_tri_spec(k_cl), _row_spec()],
             out_specs=[_out_spec()] * len(out_dtypes),
         ),
         out_shape=[jax.ShapeDtypeStruct((n_rows, LANES), dt)
@@ -342,7 +342,7 @@ def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
     tri_start (C,) i32, bmin/bmax (C,3) f32.
     Returns (t, u, v, prim, valid, overflowed)."""
     (t, u, v, prim), total = _call(
-        _make_closest_kernel(),
+        _make_closest_kernel(geom_cl["tri"].shape[1]),
         [jnp.float32, jnp.float32, jnp.float32, jnp.int32],
         geom_cl, o, d, mint, maxt, w_factor, interpret)
     valid = prim >= 0
@@ -356,7 +356,8 @@ def wl_any(geom_cl, o, d, mint, maxt, w_factor: int = 16,
            interpret: bool = False):
     """Shadow/any-hit query. Returns (occluded bool mask, overflowed)."""
     (occ,), total = _call(
-        _make_any_kernel(), [jnp.int32], geom_cl, o, d, mint, maxt,
+        _make_any_kernel(geom_cl["tri"].shape[1]), [jnp.int32],
+        geom_cl, o, d, mint, maxt,
         w_factor, interpret)
     n_rows = pl.cdiv(o.shape[0], LANES)
     return occ.astype(bool), total > n_rows * w_factor

@@ -36,6 +36,10 @@ class Scene:
     # per-shape medium index, -1 = none.  None when the scene has no media.
     media: object = None
     shape_interior: object = None
+    # subsurface scattering entries (subsurface/dipole.py SceneSubsurface);
+    # None when no shape carries a <subsurface> (reference: Subsurface
+    # plugins attach per shape, include/mitsuba/render/subsurface.h)
+    subsurface: object = None
 
 
 def _host_build_context():
@@ -57,6 +61,7 @@ class SceneBuilder:
         self._shapes = []     # (mesh, material_id, emitter_id)
         self._shape_interior = []   # per shape: medium index or -1
         self._media = []            # (sigma_s, sigma_a, g)
+        self._subsurface = []       # dicts: material_id, sigma_s, ...
         self.camera = None
         self.width = 256
         self.height = 256
@@ -67,6 +72,18 @@ class SceneBuilder:
         as interior/exterior pointers)."""
         self._media.append((tuple(sigma_s), tuple(sigma_a), float(g)))
         return len(self._media) - 1
+
+    def add_subsurface(self, material_id: int, sigma_s, sigma_a,
+                       g: float = 0.0, eta: float = 1.33,
+                       ss_factor=(1.0, 1.0, 1.0), n_points: int = 512):
+        """Attach a dipole subsurface to every shape using material_id
+        (reference <subsurface type="dipole">, dipole.cpp:362-468). The
+        irradiance point cloud is sampled at build time; irradiance values
+        are computed at render start (integrators/path.py render)."""
+        self._subsurface.append(dict(
+            material_id=int(material_id), sigma_s=tuple(sigma_s),
+            sigma_a=tuple(sigma_a), g=float(g), eta=float(eta),
+            ss_factor=tuple(ss_factor), n_points=int(n_points)))
 
     def add_shape(self, mesh, material_id, emitter_id=-1,
                   interior_medium: int = -1):
@@ -118,11 +135,19 @@ class SceneBuilder:
             media = make_medium_stack(self._media)
             shape_interior = jnp.asarray(
                 np.asarray(self._shape_interior, np.int32))
+        subsurface = None
+        if self._subsurface:
+            from mitsuba_tpu.subsurface.dipole import build_scene_subsurface
+
+            n_pts = max(e["n_points"] for e in self._subsurface)
+            subsurface = build_scene_subsurface(
+                self._subsurface, mats.n_materials, geom, n_points=n_pts)
         return Scene(
             geom=geom, materials=mats, emitters=em, camera=cam,
             textures=self.textures.build(),
             width=self.width, height=self.height,
             media=media, shape_interior=shape_interior,
+            subsurface=subsurface,
         )
 
 

@@ -42,6 +42,8 @@ class DipoleParams:
     zr: jnp.ndarray           # (3,) real source depth
     zv: jnp.ndarray           # (3,) virtual source depth
     alpha_p: jnp.ndarray      # (3,) reduced albedo
+    fdr: jnp.ndarray = None   # () diffuse Fresnel reflectance
+    fdt: jnp.ndarray = None   # () 1 - fdr
 
 
 def make_dipole(sigma_s, sigma_a, g: float = 0.0, eta: float = 1.33) -> DipoleParams:
@@ -60,6 +62,8 @@ def make_dipole(sigma_s, sigma_a, g: float = 0.0, eta: float = 1.33) -> DipolePa
         sigma_s=ss, sigma_a=sa, g=jnp.asarray(g, jnp.float32),
         eta=jnp.asarray(eta, jnp.float32),
         sigma_tr=sigma_tr, zr=zr, zv=zv, alpha_p=alpha_p,
+        fdr=jnp.asarray(fdr, jnp.float32),
+        fdt=jnp.asarray(1.0 - fdr, jnp.float32),
     )
 
 
@@ -216,3 +220,135 @@ def adipole_rd(p: DipoleParams, r_vec, aniso_dir, aniso_ratio: float = 2.0):
         (along / aniso_ratio) ** 2 + jnp.sum(perp * perp, axis=-1)
     )
     return dipole_rd(p, r_eff)
+
+
+# ---------------------------------------------------------------------------
+# Scene integration: stacked per-entry tables consumed by the path tracer
+# (reference interface include/mitsuba/render/subsurface.h: Subsurface
+# plugins attach to shapes, preprocess() builds irradiance samples,
+# Lo() is called from the integrator — here the analog is a pytree on
+# Scene and a masked Lo term in integrators/path.py.)
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class SceneSubsurface:
+    """All subsurface entries of a scene, stacked: S entries x K points."""
+    sigma_tr: jnp.ndarray     # (S, 3)
+    zr: jnp.ndarray           # (S, 3)
+    zv: jnp.ndarray           # (S, 3)
+    alpha_p: jnp.ndarray      # (S, 3)
+    eta: jnp.ndarray          # (S,)
+    fdr: jnp.ndarray          # (S,)
+    fdt: jnp.ndarray          # (S,)
+    ss_factor: jnp.ndarray    # (S, 3)
+    points: jnp.ndarray       # (S, K, 3)
+    normals: jnp.ndarray      # (S, K, 3)
+    area: jnp.ndarray         # (S,) area per point
+    mat_ss: jnp.ndarray       # (n_materials,) material -> entry id or -1
+    irradiance: jnp.ndarray = None  # (S, K, 3), filled at render start
+
+    @property
+    def n_entries(self):
+        return self.points.shape[0]
+
+
+def build_scene_subsurface(entries, n_materials: int,
+                           geom, n_points: int = 512):
+    """Host-side build. entries: list of dicts with keys material_id,
+    sigma_s, sigma_a, g, eta, ss_factor. Points are sampled area-weighted
+    on the triangles carrying each entry's material."""
+    import numpy as _np
+
+    mat_ss = _np.full(n_materials, -1, _np.int32)
+    rows = dict(sigma_tr=[], zr=[], zv=[], alpha_p=[], eta=[], fdr=[],
+                fdt=[], ss_factor=[])
+    pts_all, nrm_all, area_all = [], [], []
+    v0 = _np.asarray(geom.v0)
+    e1 = _np.asarray(geom.e1)
+    e2 = _np.asarray(geom.e2)
+    mid_tri = _np.asarray(geom.material_id)
+    for si, e in enumerate(entries):
+        mat_ss[e["material_id"]] = si
+        p = make_dipole(e["sigma_s"], e["sigma_a"], g=e.get("g", 0.0),
+                        eta=e.get("eta", 1.33))
+        rows["sigma_tr"].append(p.sigma_tr)
+        rows["zr"].append(p.zr)
+        rows["zv"].append(p.zv)
+        rows["alpha_p"].append(p.alpha_p)
+        rows["eta"].append(p.eta)
+        rows["fdr"].append(p.fdr)
+        rows["fdt"].append(p.fdt)
+        rows["ss_factor"].append(
+            jnp.asarray(e.get("ss_factor", (1.0, 1.0, 1.0)), jnp.float32))
+        mask = mid_tri == e["material_id"]
+        if not mask.any():
+            raise ValueError(
+                f"subsurface entry {si}: no triangles with material "
+                f"{e['material_id']}")
+        mv0, me1, me2 = v0[mask], e1[mask], e2[mask]
+        areas = 0.5 * _np.linalg.norm(_np.cross(me1, me2), axis=-1)
+        total = float(areas.sum())
+        rng = _np.random.default_rng(123 + si)
+        ti = rng.choice(len(areas), size=n_points, p=areas / areas.sum())
+        u = rng.uniform(size=(n_points, 2))
+        a = _np.sqrt(_np.maximum(1.0 - u[:, 0], 0.0))
+        b0, b1 = 1.0 - a, a * u[:, 1]
+        pts = mv0[ti] + me1[ti] * b0[:, None] + me2[ti] * b1[:, None]
+        nrm = _np.cross(me1[ti], me2[ti])
+        nrm /= _np.maximum(_np.linalg.norm(nrm, axis=-1, keepdims=True),
+                           1e-20)
+        pts_all.append(pts)
+        nrm_all.append(nrm)
+        area_all.append(total / n_points)
+    return SceneSubsurface(
+        **{k: jnp.stack(v) for k, v in rows.items()},
+        points=jnp.asarray(_np.stack(pts_all), jnp.float32),
+        normals=jnp.asarray(_np.stack(nrm_all), jnp.float32),
+        area=jnp.asarray(_np.asarray(area_all), jnp.float32),
+        mat_ss=jnp.asarray(mat_ss),
+    )
+
+
+def prepare_scene_irradiance(scene, n_samples: int = 8, seed: int = 7):
+    """Fill SceneSubsurface.irradiance via the vectorized NEE estimator
+    (direct-light irradiance, the reference irrproc.cpp analog; indirect
+    irradiance is a documented approximation gap)."""
+    ss = scene.subsurface
+    S, K, _ = ss.points.shape
+    pts = ss.points.reshape(S * K, 3)
+    nrm = ss.normals.reshape(S * K, 3)
+    irr = compute_irradiance(scene, pts, nrm, n_samples=n_samples,
+                             seed=seed)
+    from mitsuba_tpu.core.types import replace as _replace
+    return _replace(ss, irradiance=irr.reshape(S, K, 3))
+
+
+def scene_ss_lo(ss: SceneSubsurface, s: int, x, wo_cos, chunk: int = 256):
+    """Outgoing dipole radiance of entry `s` at hit points x (N,3).
+
+    Reference dipole.cpp Lo: Mo = sum_i Rd(|x-p_i|) E_i A_i Fdt;
+    Lo = Mo * ssFactor / pi * (eta==1 ? 1 : Ft(cos_o)/Fdr)."""
+    row = DipoleParams(
+        sigma_s=None, sigma_a=None, g=None, eta=ss.eta[s],
+        sigma_tr=ss.sigma_tr[s], zr=ss.zr[s], zv=ss.zv[s],
+        alpha_p=ss.alpha_p[s], fdr=ss.fdr[s], fdt=ss.fdt[s])
+    K = ss.points.shape[1]
+    pad = (-K) % chunk
+    pts = jnp.pad(ss.points[s], ((0, pad), (0, 0)))
+    irr = jnp.pad(ss.irradiance[s], ((0, pad), (0, 0)))
+    pts_c = pts.reshape(-1, chunk, 3)
+    irr_c = irr.reshape(-1, chunk, 3)
+
+    def step(acc, ci):
+        cp, ce = ci
+        d2 = jnp.sum((x[:, None, :] - cp[None, :, :]) ** 2, axis=-1)
+        rd = dipole_rd(row, jnp.sqrt(d2))
+        return acc + jnp.sum(rd * ce[None, :, :], axis=1), None
+
+    mo, _ = jax.lax.scan(step, jnp.zeros((x.shape[0], 3)), (pts_c, irr_c))
+    mo = mo * ss.area[s] * ss.fdt[s]
+    ft = 1.0 - fresnel(wo_cos, jnp.ones_like(row.eta), row.eta)
+    bdy = jnp.where(jnp.abs(row.eta - 1.0) < 1e-4, 1.0,
+                    ft / jnp.maximum(row.fdr, 1e-4))
+    return mo * ss.ss_factor[s] * m.INV_PI * bdy[..., None]

@@ -4,7 +4,11 @@ Correctness: 64k camera rays vs v1 (already validated vs packet-BVH).
 Perf: 1M closest hits camera / incoherent-sorted / unsorted; any-hit.
 Also reports cull/list stats and the overflow flag.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -43,9 +47,12 @@ def main():
     perm = np.asarray(bvh.perm)
     ranges = cut_clusters(np.asarray(bvh.first), np.asarray(bvh.count),
                           np.asarray(bvh.skip), f.shape[0])
-    mt = build_mt_tables(v0[perm], e1[perm], e2[perm], ranges)
-    inv_perm = np.argsort(perm)
-    print("clusters:", mt.tri.shape[0])
+    import os
+    K_CL = int(os.environ.get("K_CL", "32"))
+    ranges = cut_clusters(np.asarray(bvh.first), np.asarray(bvh.count),
+                          np.asarray(bvh.skip), f.shape[0], max_k=K_CL)
+    mt = build_mt_tables(v0[perm], e1[perm], e2[perm], ranges, k=K_CL)
+    print("K_CL:", K_CL, "clusters:", mt.tri.shape[0])
     geom_cl = dict(tri=jnp.asarray(mt.tri),
                    tri_start=jnp.asarray(mt.tri_start),
                    bmin=jnp.asarray(mt.bmin), bmax=jnp.asarray(mt.bmax))
