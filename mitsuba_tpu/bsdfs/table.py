@@ -156,6 +156,16 @@ class MaterialBuilder:
     def lambertian(self, reflectance=(0.5, 0.5, 0.5), tex_id=-1):
         return self._add(kind=LAMBERTIAN, reflectance=reflectance, tex_id=tex_id)
 
+    def null(self):
+        """Index-matched pass-through boundary (reference: shapes without a
+        BSDF are non-occluders, Shape::isOccluder(); used for shapes that
+        only delimit participating media). Implemented as an opacity-0 mask
+        over a black lambertian: sampling passes straight through with
+        weight 1, eval/pdf are 0, and shadow-ray transmittance walks treat
+        opacity<1 surfaces as non-blocking."""
+        return self._add(kind=LAMBERTIAN, reflectance=(0.0, 0.0, 0.0),
+                         opacity=0.0)
+
     def mirror(self, specular=(1.0, 1.0, 1.0)):
         return self._add(kind=MIRROR, specular=specular)
 

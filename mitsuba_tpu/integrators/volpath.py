@@ -216,6 +216,51 @@ def render_volpath(scene, medium, cfg: PathConfig, seed: int = 0, mis: bool = Tr
 # sampling on one-hot-gathered sigmas (media/medium.py MediumStack).
 # ---------------------------------------------------------------------------
 
+def boundary_transmittance(scene, o, d, dist, cur, max_crossings: int = 4):
+    """Transmittance from o along d over [0, dist] across ALL media on the
+    segment (reference scene.cpp:417 getTransmittance): walk boundary
+    crossings, attenuate each segment by its medium, switch media at
+    non-occluding surfaces (opacity < 1; materials.null()), and block at
+    opaque ones. cur: (N,) current medium index (-1 = vacuum).
+
+    max_crossings bounds the walk (reference iterates up to 100; wavefront
+    lanes all pay the worst case, and >4 crossings along one shadow ray is
+    pathological). Lanes still unresolved after the cap attenuate the
+    remainder with their current medium."""
+    from mitsuba_tpu.media.medium import stack_params, stack_transmittance
+
+    stack = scene.media
+    interior = scene.shape_interior
+    n = o.shape[0]
+    tr = jnp.ones((n, 3))
+    t0 = jnp.zeros(n)
+    done = jnp.zeros(n, bool)
+    eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(o).max(-1))
+    for _ in range(max_crossings):
+        seg_ray = Ray.make(o, d, mint=t0 + eps,
+                           maxt=jnp.where(done, -1.0, dist))
+        its = ray_intersect(scene.geom, seg_ray)
+        hit = its.valid & (its.t < dist) & ~done
+        seg_end = jnp.where(hit, its.t, dist)
+        ss, sa, g_lane, inside = stack_params(stack, cur)
+        seg_tr = stack_transmittance(ss, sa, jnp.maximum(seg_end - t0, 0.0))
+        seg_tr = jnp.where(inside[:, None], seg_tr, 1.0)
+        tr = tr * jnp.where(done[:, None], 1.0, seg_tr)
+        mclip = jnp.clip(its.material_id, 0, scene.materials.n_materials - 1)
+        opac = scene.materials.opacity[mclip]
+        tr = jnp.where(hit[:, None], tr * (1.0 - opac[:, None]), tr)
+        sid = jnp.clip(its.shape_id, 0, interior.shape[0] - 1)
+        entering = jnp.sum(d * its.geo_n, axis=-1) < 0
+        cur = jnp.where(hit, jnp.where(entering, interior[sid], -1), cur)
+        done = done | ~hit
+        t0 = jnp.where(hit, its.t, t0)
+    # unresolved lanes: attenuate the remainder by the current medium
+    ss, sa, g_lane, inside = stack_params(stack, cur)
+    rest = stack_transmittance(ss, sa, jnp.maximum(dist - t0, 0.0))
+    rest = jnp.where((inside & ~done)[:, None], rest, 1.0)
+    return tr * rest
+
+
 def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                         mis: bool = True, _debug_unroll: bool = False):
     """Volumetric path tracing with per-shape interior media.
@@ -303,14 +348,23 @@ def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
         b_pdf = bsdf_pdf(scene.materials, its.material_id, its.wi, wo_local)
 
         eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(p_scatter).max(-1))
-        shadow = Ray.make(p_scatter, ds.d, mint=eps, maxt=ds.dist * (1.0 - 1e-3))
-        occluded = ray_test(scene.geom, shadow)
         # degenerate emitter samples can carry NaN dist — sanitize before
         # the exp (same cotangent-poisoning mechanism as the pdfs above)
         base_ok = (cont_m | cont_s) & ds.valid & (ds.pdf > 0)
         dist_safe = jnp.where(base_ok, ds.dist, 0.0)
-        tr = stack_transmittance(ss, sa, dist_safe)
-        tr = jnp.where(inside[:, None], tr, 1.0)
+        if interior is not None:
+            # boundary-aware shadow transmittance (reference
+            # getTransmittance walk): crosses null boundaries, switches
+            # media per segment, zero at opaque surfaces
+            tr = boundary_transmittance(
+                scene, p_scatter, ds.d, dist_safe * (1.0 - 1e-3), cur)
+            occluded = jnp.max(tr, axis=-1) <= 1e-7
+        else:
+            shadow = Ray.make(p_scatter, ds.d, mint=eps,
+                              maxt=dist_safe * (1.0 - 1e-3))
+            occluded = ray_test(scene.geom, shadow)
+            tr = stack_transmittance(ss, sa, dist_safe)
+            tr = jnp.where(inside[:, None], tr, 1.0)
 
         nee_ok = (cont_m | cont_s) & ds.valid & (ds.pdf > 0) & ~occluded
         scatter_pdf = jnp.where(in_medium, ph_pdf, b_pdf)

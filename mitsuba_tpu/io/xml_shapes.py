@@ -189,6 +189,10 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
             interior = builder.add_medium(ss, sa, g=g)
     if bsdf is not None:
         mid = material_fn(builder, bsdf, mat_cache)
+    elif interior >= 0 and lum is None:
+        # reference: a shape with an interior medium and no BSDF is an
+        # index-matched, non-occluding boundary (Shape::isOccluder false)
+        mid = mat_cache.setdefault("__null__", builder.materials.null())
     else:
         # reference default: lambertian 0.5 when shape has no BSDF but is
         # not a pure emitter

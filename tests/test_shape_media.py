@@ -205,3 +205,76 @@ def test_inverse_recover_sigma():
     l1 = float(loss(sa, 99))
     assert abs(sa - 0.5) < 0.15, sa
     assert l1 < 0.3 * l0, (l0, l1)
+
+
+def test_boundary_aware_shadow_transmittance():
+    """VERDICT round-1 missing #3 (reference scene.cpp getTransmittance):
+    a floor lit by a light whose shadow rays cross an absorbing tank must
+    see the light attenuated by exp(-sigma_a * chord), not blocked."""
+    def floor_scene(sig):
+        b = SceneBuilder()
+        null = b.materials.null()
+        lm = b.materials.lambertian((0.8, 0.8, 0.8))
+        med = b.add_medium((0.0,) * 3, (sig,) * 3, g=0.0)
+        # absorbing tank between floor (z=-2) and light (z=+3)
+        b.add_shape(mesh_mod.make_box([-4, -4, 0], [4, 4, 2]), null,
+                    interior_medium=med)
+        floor = mesh_mod.make_quad([-1, -1, -2], [1, -1, -2],
+                                   [1, 1, -2], [-1, 1, -2])
+        b.add_shape(floor, lm)
+        b.emitters.point((0, 0, 30.0), (2000.0,) * 3)
+        cam = make_perspective(
+            tf.look_at([0, -5, -0.8], [0, 0, -2], [0, 0, 1]), 30, 1.0)
+        b.set_camera(cam, 6, 6)
+        return b.build(backend="brute")
+
+    cfg = PathConfig(max_depth=3, spp=16, remat=False)
+    i0, _ = render_volpath_media(floor_scene(0.0), cfg, seed=2)
+    sig = 0.7
+    i1, _ = render_volpath_media(floor_scene(sig), cfg, seed=2)
+    c0 = float(np.asarray(i0)[2:4, 2:4].mean())
+    c1 = float(np.asarray(i1)[2:4, 2:4].mean())
+    assert c0 > 1e-3, c0
+    expect = np.exp(-sig * 2.0)     # chord through the 2-unit tank
+    assert abs(c1 / c0 - expect) < 0.07, (c1 / c0, expect)
+
+
+def test_null_boundary_is_invisible():
+    """A null-material box with a zero-density interior must not change the
+    image (pass-through sampling + transparent shadow rays)."""
+    def sc(with_box):
+        b = SceneBuilder()
+        lm = b.materials.lambertian((0.0, 0.0, 0.0))
+        if with_box:
+            null = b.materials.null()
+            med = b.add_medium((0.0,) * 3, (0.0,) * 3, g=0.0)
+            b.add_shape(mesh_mod.make_box([-1, -1, -1], [1, 1, 1]), null,
+                        interior_medium=med)
+        wall = mesh_mod.make_quad([-3, -3, -2.5], [3, -3, -2.5],
+                                  [3, 3, -2.5], [-3, 3, -2.5])
+        b.add_area_emitter_shape(wall, lm, (5.0, 5.0, 5.0))
+        cam = make_perspective(tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]),
+                               30, 1.0)
+        b.set_camera(cam, 8, 8)
+        return b.build(backend="brute")
+
+    cfg = PathConfig(max_depth=6, spp=16, remat=False)
+    i0, _ = render_volpath_media(sc(False), cfg, seed=3)
+    i1, _ = render_volpath_media(sc(True), cfg, seed=3)
+    a, bb = np.asarray(i0), np.asarray(i1)
+    assert abs(a.mean() - bb.mean()) / a.mean() < 0.03, (a.mean(), bb.mean())
+
+
+def test_inscatter_nee_crosses_boundary():
+    """In-scattering NEE inside a shape-attached medium: with boundary-
+    aware transmittance, medium scatter points see the emissive wall
+    through the tank boundary (previously the boundary geometry blocked
+    every NEE shadow ray, losing the NEE half of the MIS estimator)."""
+    scene = _tank_scene((0.02,) * 3, sigma_s=(0.6,) * 3)
+    cfg = PathConfig(max_depth=6, spp=32, remat=False)
+    img, _ = render_volpath_media(scene, cfg, seed=4)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    # corner pixels look past the wall edge through scattering medium;
+    # with working NEE they catch in-scattered light well above zero
+    assert img.mean() > 0.5, img.mean()
