@@ -227,7 +227,9 @@ def boundary_transmittance(scene, o, d, dist, cur, max_crossings: int = 4):
     lanes all pay the worst case, and >4 crossings along one shadow ray is
     pathological). Lanes still unresolved after the cap attenuate the
     remainder with their current medium."""
-    from mitsuba_tpu.media.medium import stack_params, stack_transmittance
+    from mitsuba_tpu.media.medium import (
+        stack_params, stack_transmittance, stack_transmittance_het,
+    )
 
     stack = scene.media
     interior = scene.shape_interior
@@ -236,15 +238,23 @@ def boundary_transmittance(scene, o, d, dist, cur, max_crossings: int = 4):
     t0 = jnp.zeros(n)
     done = jnp.zeros(n, bool)
     eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(o).max(-1))
+
+    def seg_transmittance(cur, t0, seg_len):
+        ss, sa, g_lane, inside = stack_params(stack, cur)
+        if stack is not None and stack.has_hetero:
+            seg_tr = stack_transmittance_het(
+                stack, cur, ss, sa, o + d * t0[:, None], d, seg_len)
+        else:
+            seg_tr = stack_transmittance(ss, sa, seg_len)
+        return jnp.where(inside[:, None], seg_tr, 1.0)
+
     for _ in range(max_crossings):
         seg_ray = Ray.make(o, d, mint=t0 + eps,
                            maxt=jnp.where(done, -1.0, dist))
         its = ray_intersect(scene.geom, seg_ray)
         hit = its.valid & (its.t < dist) & ~done
         seg_end = jnp.where(hit, its.t, dist)
-        ss, sa, g_lane, inside = stack_params(stack, cur)
-        seg_tr = stack_transmittance(ss, sa, jnp.maximum(seg_end - t0, 0.0))
-        seg_tr = jnp.where(inside[:, None], seg_tr, 1.0)
+        seg_tr = seg_transmittance(cur, t0, jnp.maximum(seg_end - t0, 0.0))
         tr = tr * jnp.where(done[:, None], 1.0, seg_tr)
         mclip = jnp.clip(its.material_id, 0, scene.materials.n_materials - 1)
         opac = scene.materials.opacity[mclip]
@@ -255,14 +265,13 @@ def boundary_transmittance(scene, o, d, dist, cur, max_crossings: int = 4):
         done = done | ~hit
         t0 = jnp.where(hit, its.t, t0)
     # unresolved lanes: attenuate the remainder by the current medium
-    ss, sa, g_lane, inside = stack_params(stack, cur)
-    rest = stack_transmittance(ss, sa, jnp.maximum(dist - t0, 0.0))
-    rest = jnp.where((inside & ~done)[:, None], rest, 1.0)
-    return tr * rest
+    rest = seg_transmittance(cur, t0, jnp.maximum(dist - t0, 0.0))
+    return tr * jnp.where(done[:, None], 1.0, rest)
 
 
 def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
-                        mis: bool = True, _debug_unroll: bool = False):
+                        mis: bool = True, _debug_unroll: bool = False,
+                        seed_het: int = 17):
     """Volumetric path tracing with per-shape interior media.
 
     Every lane carries the index of the medium it is travelling through
@@ -273,13 +282,17 @@ def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
     ambient-medium feature; see volpath_trace)."""
     from mitsuba_tpu.media import HG
     from mitsuba_tpu.media.medium import (
-        stack_params, stack_sample_distance, stack_transmittance,
+        stack_params, stack_sample_distance, stack_sample_distance_het,
+        stack_transmittance,
     )
 
     n = ray.o.shape[0]
     d_max = cfg.max_depth
     stack = scene.media
     interior = scene.shape_interior
+    has_het = stack is not None and stack.has_hetero
+    woodcock_keys = (jax.random.split(jax.random.key(seed_het), d_max)
+                     if has_het else jnp.zeros((d_max, 2), jnp.uint32))
 
     u_ch = sampler.next_stacked_1d(d_max)
     u_dist = sampler.next_stacked_1d(d_max)
@@ -302,14 +315,19 @@ def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
         (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
          cur) = carry
         (u_ch, u_dist, u_nee_sel, u_nee_pos, u_scatter, u_lobe, u_rr,
-         is_last, do_rr) = xs
+         is_last, do_rr, wkey) = xs
 
         its = ray_intersect(scene.geom, ray)
         t_surf = jnp.where(its.valid, its.t, _FAR)
 
         ss, sa, g_lane, inside = stack_params(stack, cur)
-        md = stack_sample_distance(ss, sa, t_surf, _detach(u_ch),
-                                   _detach(u_dist))
+        if has_het:
+            md = stack_sample_distance_het(
+                stack, cur, ss, sa, ray.o, ray.d, t_surf, _detach(u_ch),
+                _detach(u_dist), jax.random.wrap_key_data(wkey))
+        else:
+            md = stack_sample_distance(ss, sa, t_surf, _detach(u_ch),
+                                       _detach(u_dist))
         md_valid = md["valid"] & inside
         in_medium = active & md_valid
         at_surface = active & ~md_valid & its.valid
@@ -437,7 +455,8 @@ def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
 
     body = jax.checkpoint(bounce) if cfg.remat else bounce
     xs = (u_ch, u_dist, u_nee_sel, u_nee_pos, u_scatter, u_lobe, u_rr,
-          is_last, do_rr)
+          is_last, do_rr, jax.random.key_data(woodcock_keys)
+          if has_het else woodcock_keys)
     if _debug_unroll:   # python loop: per-line NaN locations under grad
         carry = init
         for i in range(d_max):

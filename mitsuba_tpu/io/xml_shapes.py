@@ -158,14 +158,11 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
     bsdf = _find(shape_node, "bsdf")
     lum = _find(shape_node, "luminaire")
     # interior medium bound to the shape (reference: <medium> child named
-    # "interior"; homogeneous only — heterogeneous stays ambient)
+    # "interior"; homogeneous or heterogeneous/grid-driven,
+    # heterogeneous.cpp:79-96)
     interior = -1
     for c in shape_node["children"]:
         if c["category"] == "medium" and c.get("name") in ("interior", None):
-            if c["type"] != "homogeneous":
-                raise ValueError(
-                    "only homogeneous media can bind to shapes; "
-                    "use the scene-level medium for heterogeneous grids")
             mp = c["props"]
 
             def _sp(name, default):
@@ -186,7 +183,28 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
             for pc in c["children"]:
                 if pc["category"] == "phase" and pc["type"] == "hg":
                     g = float(pc["props"].get("g", 0.8))
-            interior = builder.add_medium(ss, sa, g=g)
+            if c["type"] == "heterogeneous":
+                from mitsuba_tpu.io.volio import (
+                    grid_world_to_index_transform, load_vol)
+
+                vol = None
+                for pc in c["children"]:
+                    if (pc["category"] == "volume"
+                            and pc.get("name") in ("density", None)):
+                        vol = pc
+                if vol is None or "filename" not in vol["props"]:
+                    raise ValueError(
+                        "heterogeneous interior needs a gridvolume density")
+                data, bmin_v, bmax_v = load_vol(
+                    _resolve(base_dir, vol["props"]["filename"]))
+                density = data[..., 0]
+                w2g = grid_world_to_index_transform(
+                    bmin_v, bmax_v, density.shape)
+                interior = builder.add_medium(
+                    ss, sa, g=g, density=density, world_to_grid=w2g,
+                    density_scale=float(mp.get("densityMultiplier", 1.0)))
+            else:
+                interior = builder.add_medium(ss, sa, g=g)
     if bsdf is not None:
         mid = material_fn(builder, bsdf, mat_cache)
     elif interior >= 0 and lum is None:

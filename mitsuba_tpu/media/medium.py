@@ -227,10 +227,13 @@ def sample_distance(med: MediumTable, o, d, max_dist, u_channel, u_dist,
 # ---------------------------------------------------------------------------
 # Shape-attached interior media (reference: Shape::setInteriorMedium /
 # BSDF boundaries in volpath.cpp; media bind to shapes in the scene XML).
-# TPU re-design: a small SoA stack of HOMOGENEOUS media; every lane carries
-# its current medium index (-1 = vacuum/ambient), parameters are fetched
+# TPU re-design: a small SoA stack of media; every lane carries its
+# current medium index (-1 = vacuum/ambient), parameters are fetched
 # with a one-hot gather, and the closed-form homogeneous sampling runs
-# per-lane on the gathered sigmas.  Heterogeneous grids stay ambient-only.
+# per-lane on the gathered sigmas.  Media may carry a density grid
+# (reference heterogeneous.cpp:79-96 data-source-driven media attached to
+# shapes): grids are padded to a common shape and stacked, lanes gather
+# per-medium grid ids, Woodcock tracking uses per-lane majorants.
 # ---------------------------------------------------------------------------
 
 @pytree_dataclass
@@ -238,6 +241,14 @@ class MediumStack:
     sigma_s: jnp.ndarray      # (K, 3)
     sigma_a: jnp.ndarray      # (K, 3)
     phase_g: jnp.ndarray      # (K,)
+    # heterogeneous support (None-free static layout: NG=0 when unused)
+    grid_id: jnp.ndarray = None       # (K,) i32: index into grids, -1 = homo
+    grids: jnp.ndarray = None         # (NG, D, H, W) padded density stack
+    grid_dims: jnp.ndarray = None     # (NG, 3) true (D,H,W) before padding
+    world_to_grid: jnp.ndarray = None  # (NG, 4, 4)
+    density_scale: jnp.ndarray = None  # (NG,)
+    max_density: jnp.ndarray = None    # (NG,) scaled Woodcock majorant
+    has_hetero: bool = static_field(default=False)
 
     @property
     def n_media(self):
@@ -245,16 +256,110 @@ class MediumStack:
 
 
 def make_medium_stack(media) -> MediumStack:
-    """media: list of (sigma_s, sigma_a, g) triples."""
+    """media: list of (sigma_s, sigma_a, g) triples or dicts
+    {sigma_s, sigma_a, g, density(D,H,W), world_to_grid, density_scale}."""
+    import numpy as _np
+
     if not media:
         return MediumStack(
             sigma_s=jnp.zeros((0, 3)), sigma_a=jnp.zeros((0, 3)),
             phase_g=jnp.zeros((0,)),
         )
-    ss = jnp.asarray([m_[0] for m_ in media], jnp.float32)
-    sa = jnp.asarray([m_[1] for m_ in media], jnp.float32)
-    g = jnp.asarray([m_[2] for m_ in media], jnp.float32)
-    return MediumStack(sigma_s=ss, sigma_a=sa, phase_g=g)
+    norm = []
+    for m_ in media:
+        if isinstance(m_, dict):
+            norm.append(m_)
+        else:
+            norm.append(dict(sigma_s=m_[0], sigma_a=m_[1], g=m_[2]))
+    ss = jnp.asarray([m_["sigma_s"] for m_ in norm], jnp.float32)
+    sa = jnp.asarray([m_["sigma_a"] for m_ in norm], jnp.float32)
+    g = jnp.asarray([m_.get("g", 0.0) for m_ in norm], jnp.float32)
+    het = [m_ for m_ in norm if m_.get("density") is not None]
+    if not het:
+        return MediumStack(sigma_s=ss, sigma_a=sa, phase_g=g)
+    gid = _np.full(len(norm), -1, _np.int32)
+    dims = _np.asarray([_np.asarray(m_["density"]).shape for m_ in het])
+    dmax, hmax, wmax = dims.max(axis=0)
+    grids = _np.zeros((len(het), dmax, hmax, wmax), _np.float32)
+    w2g = _np.zeros((len(het), 4, 4), _np.float32)
+    scale = _np.zeros(len(het), _np.float32)
+    maxd = _np.zeros(len(het), _np.float32)
+    j = 0
+    for i, m_ in enumerate(norm):
+        if m_.get("density") is None:
+            continue
+        dgrid = _np.asarray(m_["density"], _np.float32)
+        dz, dy, dx = dgrid.shape
+        grids[j, :dz, :dy, :dx] = dgrid
+        w2g[j] = _np.asarray(m_["world_to_grid"], _np.float32)
+        sc = float(m_.get("density_scale", 1.0))
+        scale[j] = sc
+        maxd[j] = float(dgrid.max()) * sc
+        gid[i] = j
+        j += 1
+    return MediumStack(
+        sigma_s=ss, sigma_a=sa, phase_g=g,
+        grid_id=jnp.asarray(gid), grids=jnp.asarray(grids),
+        grid_dims=jnp.asarray(dims, jnp.int32),
+        world_to_grid=jnp.asarray(w2g),
+        density_scale=jnp.asarray(scale),
+        max_density=jnp.asarray(maxd), has_hetero=True,
+    )
+
+
+def stack_lookup_density(stack: MediumStack, cur, p):
+    """Per-lane density multiplier at world points p (N,3): 1 for
+    homogeneous/vacuum lanes, trilinear grid lookup (0 outside) for lanes
+    inside a grid medium."""
+    n = cur.shape[0]
+    if not stack.has_hetero:
+        return jnp.ones(n)
+    kc = jnp.clip(cur, 0, stack.n_media - 1)
+    gid = jnp.where(cur >= 0, stack.grid_id[kc], -1)
+    gc = jnp.clip(gid, 0, stack.grids.shape[0] - 1)
+    m44 = stack.world_to_grid[gc]                       # (N, 4, 4)
+    gpt = jnp.einsum("nij,nj->ni", m44[:, :3, :3], p) + m44[:, :3, 3]
+    dims = stack.grid_dims[gc].astype(jnp.float32)      # (N, 3) (D,H,W)
+    x, y, z = gpt[:, 0], gpt[:, 1], gpt[:, 2]
+    wd, ht, dp = dims[:, 2], dims[:, 1], dims[:, 0]
+    inside = ((x >= 0) & (x <= wd - 1) & (y >= 0) & (y <= ht - 1)
+              & (z >= 0) & (z <= dp - 1))
+    x = jnp.clip(x, 0.0, wd - 1.0)
+    y = jnp.clip(y, 0.0, ht - 1.0)
+    z = jnp.clip(z, 0.0, dp - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
+                  jnp.maximum(wd.astype(jnp.int32) - 2, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0,
+                  jnp.maximum(ht.astype(jnp.int32) - 2, 0))
+    z0 = jnp.clip(jnp.floor(z).astype(jnp.int32), 0,
+                  jnp.maximum(dp.astype(jnp.int32) - 2, 0))
+    fx, fy, fz = x - x0, y - y0, z - z0
+    x1 = jnp.minimum(x0 + 1, wd.astype(jnp.int32) - 1)
+    y1 = jnp.minimum(y0 + 1, ht.astype(jnp.int32) - 1)
+    z1 = jnp.minimum(z0 + 1, dp.astype(jnp.int32) - 1)
+    G = stack.grids
+
+    def at(zz, yy, xx):
+        return G[gc, zz, yy, xx]
+
+    c = (at(z0, y0, x0) * (1 - fx) * (1 - fy) * (1 - fz)
+         + at(z0, y0, x1) * fx * (1 - fy) * (1 - fz)
+         + at(z0, y1, x0) * (1 - fx) * fy * (1 - fz)
+         + at(z0, y1, x1) * fx * fy * (1 - fz)
+         + at(z1, y0, x0) * (1 - fx) * (1 - fy) * fz
+         + at(z1, y0, x1) * fx * (1 - fy) * fz
+         + at(z1, y1, x0) * (1 - fx) * fy * fz
+         + at(z1, y1, x1) * fx * fy * fz)
+    rho = jnp.where(inside, c * stack.density_scale[gc], 0.0)
+    return jnp.where(gid >= 0, rho, 1.0)
+
+
+def stack_is_hetero(stack: MediumStack, cur):
+    """Per-lane bool: lane's current medium is grid-driven."""
+    if stack is None or not stack.has_hetero:
+        return jnp.zeros(cur.shape[0], bool)
+    kc = jnp.clip(cur, 0, stack.n_media - 1)
+    return (cur >= 0) & (stack.grid_id[kc] >= 0)
 
 
 def stack_params(stack: MediumStack, cur):
@@ -311,3 +416,77 @@ def stack_sample_distance(ss, sa, max_dist, u_channel, u_dist):
 def stack_transmittance(ss, sa, dist):
     """exp(-(sigma_t) * dist) per lane (homogeneous closed form)."""
     return jnp.exp(-(ss + sa) * dist[:, None])
+
+
+def stack_sample_distance_het(stack: MediumStack, cur, ss, sa, o, d,
+                              max_dist, u_channel, u_dist, key,
+                              n_woodcock: int = 64):
+    """stack_sample_distance with grid-medium support: homogeneous lanes
+    keep the closed form; lanes inside a grid medium run Woodcock/delta
+    tracking with a per-lane majorant (reference heterogeneous.cpp:317,
+    here per-shape instead of ambient). Analog tracking: weight =
+    sigma_s / max-channel sigma_t (gray-majorant assumption, exact for
+    gray media — same convention as sample_distance's ambient branch)."""
+    base = stack_sample_distance(ss, sa, max_dist, u_channel, u_dist)
+    if stack is None or not stack.has_hetero:
+        return base
+    detach = jax.lax.stop_gradient
+    n = cur.shape[0]
+    is_het = stack_is_hetero(stack, cur)
+    kc = jnp.clip(cur, 0, stack.n_media - 1)
+    gid = jnp.where(cur >= 0, stack.grid_id[kc], -1)
+    gc = jnp.clip(gid, 0, stack.grids.shape[0] - 1)
+    st = ss + sa
+    st_max = jnp.max(detach(st), axis=1)
+    sig_m = jnp.maximum(st_max * stack.max_density[gc], 1e-6)
+    max_d = detach(max_dist)
+
+    def body(i, state):
+        t, done, accept, k = state
+        k, k1, k2 = jax.random.split(k, 3)
+        step = -jnp.log(jnp.maximum(
+            1.0 - jax.random.uniform(k1, (n,)), 1e-20)) / sig_m
+        t_new = t + step
+        escaped = t_new >= max_d
+        p = o + d * jnp.minimum(t_new, max_d)[:, None]
+        rho = detach(stack_lookup_density(stack, cur, p))
+        real = jax.random.uniform(k2, (n,)) < (rho * st_max / sig_m)
+        newly_escaped = ~done & escaped
+        newly_real = ~done & ~escaped & real
+        t = jnp.where(done, t, t_new)
+        accept = accept | newly_real
+        done = done | newly_escaped | newly_real
+        return t, done, accept, k
+
+    t0 = jnp.zeros(n)
+    z = jnp.zeros(n, bool)
+    t, done, accept, _ = jax.lax.fori_loop(
+        0, n_woodcock, body, (t0, z, z, key))
+    t = detach(jnp.where(accept, t, max_d))
+    w_het = ss / jnp.maximum(st_max, 1e-8)[:, None]
+    return dict(
+        valid=jnp.where(is_het, accept, base["valid"]),
+        t=jnp.where(is_het, t, base["t"]),
+        weight=jnp.where(is_het[:, None], w_het, base["weight"]),
+        surface_weight=jnp.where(is_het[:, None], 1.0,
+                                 base["surface_weight"]),
+    )
+
+
+def stack_transmittance_het(stack: MediumStack, cur, ss, sa, o, d, dist,
+                            n_steps: int = 16):
+    """stack_transmittance with grid support: grid lanes integrate optical
+    depth by composite-midpoint ray marching over their density grid
+    (reference heterogeneous.cpp ray-marching branch)."""
+    base = stack_transmittance(ss, sa, dist)
+    if stack is None or not stack.has_hetero:
+        return base
+    is_het = stack_is_hetero(stack, cur)
+    ts = (jnp.arange(n_steps) + 0.5) / n_steps
+    pts = o[:, None, :] + d[:, None, :] * (dist[:, None] * ts[None, :])[..., None]
+    ncur = jnp.repeat(cur, n_steps)
+    rho = stack_lookup_density(stack, ncur, pts.reshape(-1, 3)).reshape(
+        o.shape[0], n_steps)
+    tau = rho.mean(axis=1) * dist
+    het_tr = jnp.exp(-(ss + sa) * tau[:, None])
+    return jnp.where(is_het[:, None], het_tr, base)

@@ -206,29 +206,38 @@ def _prim_cand(k_run):
 
 
 def _make_closest_kernel(k_cl):
-    def kernel(items_ref, tnear_ref, starts_ref, tri_ref, rays,
-               t_o, u_o, v_o, p_o):
+    # output block (1, 8, 128): rows 0=t, 1=u, 2=v, 3=prim (int32 bits
+    # bitcast into the f32 plane), 4-7 pad — Mosaic requires sublane-
+    # divisible blocks, so four (1,128) outputs are packed into one
+    def kernel(items_ref, tnear_ref, starts_ref, tri_ref, rays, out):
         w = pl.program_id(0)
         item = items_ref[w]
 
         @pl.when((item & _FIRST_BIT) != 0)
         def _init():
-            t_o[...] = rays[0, 7:8, :]                  # maxt
-            u_o[...] = jnp.zeros_like(u_o)
-            v_o[...] = jnp.zeros_like(v_o)
-            p_o[...] = jnp.full_like(p_o, -1)
+            z = jnp.zeros((1, LANES), jnp.float32)
+            neg1 = jax.lax.bitcast_convert_type(
+                jnp.full((1, LANES), -1, jnp.int32), jnp.float32)
+            out[0, 0:1, :] = rays[0, 7:8, :]            # t := maxt
+            out[0, 1:2, :] = z
+            out[0, 2:3, :] = z
+            out[0, 3:4, :] = neg1
+            out[0, 4:8, :] = jnp.zeros((4, LANES), jnp.float32)
 
         # early exit: best-so-far across the row vs cluster entry distance
-        t_best = jnp.max(t_o[0, :])
+        # (bitcast must be a VECTOR op on TPU; int compare of float bits is
+        # monotone for the non-negative t/tnear values here)
+        t_best_bits = jnp.max(_f32_bits(out[0, 0:1, :]))
 
         @pl.when(((item & _VALID_BIT) != 0)
-                 & (tnear_ref[w] < _f32_bits(t_best)))
+                 & (tnear_ref[w] < t_best_bits))
         def _work():
             cid = item & (_FIRST_BIT - 1)
+            tb = out[0, 0:1, :]
             t_run, k_run, u_run, v_run = _mt_chunks(
-                tri_ref, rays[0], rays[0, 6:7, :], t_o[...], k_cl)
+                tri_ref, rays[0], rays[0, 6:7, :], tb, k_cl)
             tmin = jnp.min(t_run, axis=0, keepdims=True)
-            improved = tmin < t_o[...]
+            improved = tmin < tb
             # unique winner: smallest prim among t==tmin
             pc = _prim_cand(k_run)
             win = t_run <= tmin
@@ -238,10 +247,12 @@ def _make_closest_kernel(k_cl):
             usel = jnp.sum(w2 * u_run, axis=0, keepdims=True)
             vsel = jnp.sum(w2 * v_run, axis=0, keepdims=True)
             start_c = starts_ref[cid]
-            t_o[...] = jnp.where(improved, tmin, t_o[...])
-            u_o[...] = jnp.where(improved, usel, u_o[...])
-            v_o[...] = jnp.where(improved, vsel, v_o[...])
-            p_o[...] = jnp.where(improved, start_c + psel, p_o[...])
+            prim_new = jax.lax.bitcast_convert_type(
+                start_c + psel, jnp.float32)
+            out[0, 0:1, :] = jnp.where(improved, tmin, tb)
+            out[0, 1:2, :] = jnp.where(improved, usel, out[0, 1:2, :])
+            out[0, 2:3, :] = jnp.where(improved, vsel, out[0, 2:3, :])
+            out[0, 3:4, :] = jnp.where(improved, prim_new, out[0, 3:4, :])
     return kernel
 
 
@@ -254,7 +265,7 @@ def _make_any_kernel(k_cl):
         def _init():
             occ_o[...] = jnp.zeros_like(occ_o)
 
-        live = jnp.min(occ_o[0, :])
+        live = jnp.min(occ_o[0, 0:1, :])
 
         @pl.when(((item & _VALID_BIT) != 0) & (live == 0))
         def _work():
@@ -262,7 +273,7 @@ def _make_any_kernel(k_cl):
                 tri_ref, rays[0], rays[0, 6:7, :], rays[0, 7:8, :], k_cl)
             hit = t_run < _BIG
             row_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
-            occ_o[...] = occ_o[...] | row_hit
+            occ_o[0, 0:1, :] = occ_o[0, 0:1, :] | row_hit
     return kernel
 
 
@@ -296,8 +307,8 @@ def _row_spec():
 
 def _out_spec():
     return pl.BlockSpec(
-        (1, LANES),
-        lambda w, items, tnear, starts: (items[w] >> _ROW_SHIFT, 0),
+        (1, 8, LANES),
+        lambda w, items, tnear, starts: (items[w] >> _ROW_SHIFT, 0, 0),
         memory_space=pltpu.VMEM)
 
 
@@ -308,7 +319,7 @@ def _tri_spec(k_cl):
         memory_space=pltpu.VMEM)
 
 
-def _call(kernel, out_dtypes, geom_cl, o, d, mint, maxt, w_factor,
+def _call(kernel, out_dtype, geom_cl, o, d, mint, maxt, w_factor,
           interpret=False):
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
     k_cl = geom_cl["tri"].shape[1]
@@ -318,21 +329,20 @@ def _call(kernel, out_dtypes, geom_cl, o, d, mint, maxt, w_factor,
         rays[:, 3:6].transpose(0, 2, 1).reshape(-1, 3),
         rays[:, 6].reshape(-1), rays[:, 7].reshape(-1),
         geom_cl["bmin"], geom_cl["bmax"], n_rows, w_cap)
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,          # items, tnear, starts
             grid=(w_cap,),
             in_specs=[_tri_spec(k_cl), _row_spec()],
-            out_specs=[_out_spec()] * len(out_dtypes),
+            out_specs=_out_spec(),
         ),
-        out_shape=[jax.ShapeDtypeStruct((n_rows, LANES), dt)
-                   for dt in out_dtypes],
+        out_shape=jax.ShapeDtypeStruct((n_rows, 8, LANES), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(items, tnear, geom_cl["tri_start"], geom_cl["tri"], rays)
-    return [x.reshape(-1)[:n] for x in outs], total
+    return out, n, total
 
 
 @functools.partial(jax.jit, static_argnames=("w_factor", "interpret"))
@@ -341,10 +351,14 @@ def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
     """Closest hit. geom_cl: dict with tri (C,CLUSTER_K,16) f32,
     tri_start (C,) i32, bmin/bmax (C,3) f32.
     Returns (t, u, v, prim, valid, overflowed)."""
-    (t, u, v, prim), total = _call(
-        _make_closest_kernel(geom_cl["tri"].shape[1]),
-        [jnp.float32, jnp.float32, jnp.float32, jnp.int32],
+    out, n, total = _call(
+        _make_closest_kernel(geom_cl["tri"].shape[1]), jnp.float32,
         geom_cl, o, d, mint, maxt, w_factor, interpret)
+    t = out[:, 0, :].reshape(-1)[:n]
+    u = out[:, 1, :].reshape(-1)[:n]
+    v = out[:, 2, :].reshape(-1)[:n]
+    prim = jax.lax.bitcast_convert_type(out[:, 3, :],
+                                        jnp.int32).reshape(-1)[:n]
     valid = prim >= 0
     n_rows = pl.cdiv(o.shape[0], LANES)
     return (jnp.where(valid, t, jnp.inf), u, v, prim, valid,
@@ -355,9 +369,9 @@ def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
 def wl_any(geom_cl, o, d, mint, maxt, w_factor: int = 16,
            interpret: bool = False):
     """Shadow/any-hit query. Returns (occluded bool mask, overflowed)."""
-    (occ,), total = _call(
-        _make_any_kernel(geom_cl["tri"].shape[1]), [jnp.int32],
-        geom_cl, o, d, mint, maxt,
-        w_factor, interpret)
+    out, n, total = _call(
+        _make_any_kernel(geom_cl["tri"].shape[1]), jnp.int32,
+        geom_cl, o, d, mint, maxt, w_factor, interpret)
+    occ = out[:, 0, :].reshape(-1)[:n]
     n_rows = pl.cdiv(o.shape[0], LANES)
     return occ.astype(bool), total > n_rows * w_factor

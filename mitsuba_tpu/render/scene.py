@@ -66,11 +66,21 @@ class SceneBuilder:
         self.width = 256
         self.height = 256
 
-    def add_medium(self, sigma_s, sigma_a, g: float = 0.0) -> int:
-        """Register a homogeneous medium; returns its index for
+    def add_medium(self, sigma_s, sigma_a, g: float = 0.0,
+                   density=None, world_to_grid=None,
+                   density_scale: float = 1.0) -> int:
+        """Register a medium; returns its index for
         add_shape(interior_medium=...) (reference: media attach to shapes
-        as interior/exterior pointers)."""
-        self._media.append((tuple(sigma_s), tuple(sigma_a), float(g)))
+        as interior/exterior pointers). Pass density (D,H,W) +
+        world_to_grid for a grid-driven (heterogeneous) medium
+        (reference heterogeneous.cpp:79-96)."""
+        if density is None:
+            self._media.append((tuple(sigma_s), tuple(sigma_a), float(g)))
+        else:
+            self._media.append(dict(
+                sigma_s=tuple(sigma_s), sigma_a=tuple(sigma_a),
+                g=float(g), density=density, world_to_grid=world_to_grid,
+                density_scale=float(density_scale)))
         return len(self._media) - 1
 
     def add_subsurface(self, material_id: int, sigma_s, sigma_a,
