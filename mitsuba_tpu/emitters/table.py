@@ -25,7 +25,8 @@ from mitsuba_tpu.core.spectrum import luminance
 from mitsuba_tpu.core.types import pytree_dataclass, static_field
 from mitsuba_tpu.render.records import DirectSample
 
-AREA, POINT, SPOT, DIRECTIONAL, COLLIMATED, CONSTANT, ENVMAP, SKY = range(8)
+AREA, POINT, SPOT, DIRECTIONAL, COLLIMATED, CONSTANT, ENVMAP, SKY, \
+    SPHERE = range(9)
 
 DELTA_KINDS = (POINT, SPOT, DIRECTIONAL, COLLIMATED)
 
@@ -45,6 +46,7 @@ class EmitterTable:
     rec_cdf: jnp.ndarray       # (R,) CDF over records
     rec_pmf: jnp.ndarray       # (R,)
     rec_emitter: jnp.ndarray   # (R,) emitter id per record
+    radius: jnp.ndarray = None  # (E,) analytic sphere emitter radius
     # environment map tables (lat-long; sky is baked to the same form)
     env_image: jnp.ndarray = None      # (He, We, 3)
     env_row_cdf: jnp.ndarray = None    # (He,)
@@ -87,6 +89,14 @@ class EmitterBuilder:
 
     def point(self, position, intensity):
         return self._add(kind=POINT, position=position, radiance=intensity)
+
+    def sphere_area(self, center, radius, radiance):
+        """Analytic sphere area emitter, sampled by solid angle (reference
+        src/shapes/sphere.cpp:359 sampleSolidAngle — cone sampling toward
+        the sphere; far lower variance than area-sampling a tessellated
+        ball and exact)."""
+        return self._add(kind=SPHERE, position=center, radiance=radiance,
+                         radius=float(radius))
 
     def spot(self, position, direction, intensity, cutoff_deg=20.0, falloff_deg=15.0):
         d = np.asarray(direction, np.float64)
@@ -175,8 +185,12 @@ class EmitterBuilder:
             tri_areas * lum[np.clip(tri_emitter_id, 0, e - 1)],
             0.0,
         )
+        radius_arr = np.array([float(r.get("radius", 0.0))
+                               for r in self.rows], np.float32)
         other_ids = [i for i in range(e) if kind[i] != AREA and lum[i] > 0]
-        other_w = [lum[i] * 4.0 * np.pi for i in other_ids]
+        other_w = [lum[i] * (4.0 * np.pi * radius_arr[i] ** 2
+                             if kind[i] == SPHERE else 4.0 * np.pi)
+                   for i in other_ids]
         rec_w = np.concatenate([tri_w, np.asarray(other_w, np.float64)]) if other_ids \
             else tri_w
         total = rec_w.sum()
@@ -237,6 +251,7 @@ class EmitterBuilder:
             falloff_cos=jnp.asarray(
                 np.array([r["falloff_cos"] for r in self.rows], np.float32)
             ),
+            radius=jnp.asarray(radius_arr),
             tri_pdf_area=jnp.asarray(tri_pdf_area, jnp.float32),
             rec_cdf=jnp.asarray(cdf, jnp.float32),
             rec_pmf=jnp.asarray(pmf, jnp.float32),
@@ -326,6 +341,40 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
         valid = valid & jnp.where(is_tri, ok, True)
 
     sel_other = ~is_tri
+    if SPHERE in kinds:
+        # solid-angle (cone) sampling toward the sphere
+        # (reference sphere.cpp:359): pdf = 1/(2 pi (1 - cos_max))
+        mask = sel_other & (kind == SPHERE)
+        c = em.position[eid]
+        r = em.radius[eid]
+        dc_v = c - p_ref
+        dc2 = jnp.maximum(m.squared_length(dc_v), 1e-12)
+        dc = jnp.sqrt(dc2)
+        outside = dc > r * (1.0 + 1e-5)
+        sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0 - 1e-7)
+        cos_max = jnp.sqrt(1.0 - sin2_max)
+        cos_t = 1.0 - u_pos[:, 0] * (1.0 - cos_max)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = 2.0 * jnp.pi * u_pos[:, 1]
+        axis = dc_v / dc[:, None]
+        fr = m.Frame.from_normal(axis)
+        d = fr.to_world(jnp.stack(
+            [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1))
+        disc = jnp.maximum(r * r - dc2 * (1.0 - cos_t * cos_t), 0.0)
+        dist = dc * cos_t - jnp.sqrt(disc)
+        nrm = m.normalize(p_ref + d * dist[:, None] - c)
+        # selection pmf folds into the solid-angle pdf (same convention as
+        # the triangle records' pdf_area = pmf/area)
+        pdf_sa = pmf / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+        ok = mask & outside
+        out_d = jnp.where(ok[:, None], d, out_d)
+        out_dist = jnp.where(ok, dist, out_dist)
+        out_n = jnp.where(ok[:, None], nrm, out_n)
+        out_value = jnp.where(ok[:, None], em.radiance[eid], out_value)
+        out_pdf = jnp.where(ok, pdf_sa, out_pdf)
+        valid = valid & jnp.where(mask, ok, True)
+        sel_other = sel_other & (kind != SPHERE)
+
     if POINT in kinds:
         mask = sel_other & (kind == POINT)
         to_l = em.position[eid] - p_ref
@@ -416,17 +465,48 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
     )
 
 
-def pdf_direct_area(em: EmitterTable, prim_id, p_ref, p_hit, n_hit):
+def pdf_direct_area(em: EmitterTable, prim_id, p_ref, p_hit, n_hit,
+                    emitter_id=None):
     """Solid-angle NEE pdf of having sampled the area-emitter point p_hit on
     triangle prim_id from p_ref — the MIS counterweight when a BSDF ray hits
-    a luminaire (reference Scene::pdfLuminaire, scene.cpp:381)."""
+    a luminaire (reference Scene::pdfLuminaire, scene.cpp:381). Pass
+    emitter_id to cover analytic sphere emitters (cone-sampling pdf,
+    sphere.cpp pdfSolidAngle) — identified by emitter kind, since their
+    prim ids live past the triangle range."""
     ti = jnp.clip(prim_id, 0, em.tri_pdf_area.shape[0] - 1)
     pdf_area = em.tri_pdf_area[ti]
     to_l = p_hit - p_ref
     dist2 = jnp.maximum(m.squared_length(to_l), 1e-12)
     d = to_l / jnp.sqrt(dist2)[:, None]
     cos_l = m.dot(n_hit, -d)
-    return jnp.where(cos_l > 1e-6, pdf_area * dist2 / jnp.maximum(cos_l, 1e-8), 0.0)
+    pdf = jnp.where(cos_l > 1e-6,
+                    pdf_area * dist2 / jnp.maximum(cos_l, 1e-8), 0.0)
+    if emitter_id is not None and SPHERE in em.kinds_present:
+        eid = jnp.clip(emitter_id, 0, em.n_emitters - 1)
+        is_sph = (emitter_id >= 0) & (em.kind[eid] == SPHERE)
+        # record-selection pmf of this sphere's record
+        rec_pmf_sph = _sphere_rec_pmf(em, eid)
+        c = em.position[eid]
+        r = em.radius[eid]
+        dc2 = jnp.maximum(m.squared_length(c - p_ref), 1e-12)
+        sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0 - 1e-7)
+        cos_max = jnp.sqrt(1.0 - sin2_max)
+        pdf_sph = rec_pmf_sph / jnp.maximum(
+            2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+        pdf_sph = jnp.where(dc2 > r * r, pdf_sph, 0.0)
+        pdf = jnp.where(is_sph, pdf_sph, pdf)
+    return pdf
+
+
+def _sphere_rec_pmf(em: EmitterTable, eid):
+    """Selection pmf of the record belonging to emitter eid (records past
+    the triangle range map 1:1 to non-area emitters)."""
+    n_other = em.rec_pmf.shape[0] - em.n_tri_records
+    if n_other <= 0:
+        return jnp.zeros(eid.shape)
+    other_eids = em.rec_emitter[em.n_tri_records:]
+    onehot = (eid[:, None] == other_eids[None, :]).astype(jnp.float32)
+    return onehot @ em.rec_pmf[em.n_tri_records:]
 
 
 def eval_emitter_hit(em: EmitterTable, emitter_id, wi_world, n_hit):

@@ -196,7 +196,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         # --- emitter hit (BSDF-sampling MIS side) -----------------------
         le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
         lum_pdf = pdf_direct_area(
-            scene.emitters, its.prim_id, ray.o, its.p, its.geo_n
+            scene.emitters, its.prim_id, ray.o, its.p, its.geo_n,
+            emitter_id=its.emitter_id,
         )
         w_bsdf = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, lum_pdf))
         L = L + jnp.where(active[:, None], throughput * le * w_bsdf[:, None], 0.0)

@@ -101,7 +101,9 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
 
         # --- surface emitter hit ---------------------------------------
         le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
-        lum_pdf = pdf_direct_area(scene.emitters, its.prim_id, ray.o, its.p, its.geo_n)
+        lum_pdf = pdf_direct_area(scene.emitters, its.prim_id, ray.o,
+                                  its.p, its.geo_n,
+                                  emitter_id=its.emitter_id)
         w_bsdf = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, lum_pdf))
         L = L + jnp.where(at_surface[:, None], thr_surf * le * w_bsdf[:, None], 0.0)
 
@@ -347,7 +349,7 @@ def volpath_media_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
 
         le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
         lum_pdf = pdf_direct_area(scene.emitters, its.prim_id, ray.o, its.p,
-                                  its.geo_n)
+                                  its.geo_n, emitter_id=its.emitter_id)
         w_bsdf = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, lum_pdf))
         L = L + jnp.where(at_surface[:, None], thr_surf * le * w_bsdf[:, None], 0.0)
 

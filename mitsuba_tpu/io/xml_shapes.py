@@ -154,7 +154,38 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
                 sub_copy["props"] = props
             add_shape(builder, sub_copy, base_dir, mat_cache, material_fn)
         return
-    mesh = load_shape_mesh(shape_node, base_dir)
+    # analytic primitives (reference sphere.cpp/cylinder.cpp intersect
+    # exactly): spheres and cylinders skip tessellation unless inverted
+    # (flipped normals) or carrying subsurface (the irradiance point cloud
+    # samples triangles)
+    props0 = shape_node["props"]
+    analytic = None
+    if (t == "sphere" and not props0.get("inverted", False)
+            and _find(shape_node, "subsurface") is None):
+        center = np.asarray(props0.get("center", (0.0, 0.0, 0.0)),
+                            np.float32)
+        radius = float(props0.get("radius", 1.0))
+        tw = props0.get("toWorld")
+        if tw is not None:
+            tw = np.asarray(tw)
+            center = np.asarray(tf.apply_point(tw, center))
+            radius *= float(np.linalg.norm(tw[:3, 0]))
+        analytic = ("sphere", center, radius)
+        mesh = None
+    elif t == "cylinder" and _find(shape_node, "subsurface") is None:
+        p1 = np.asarray(props0.get("p1", (0.0, 0.0, 0.0)), np.float32)
+        p2 = np.asarray(props0.get("p2", (0.0, 0.0, 1.0)), np.float32)
+        radius = float(props0.get("radius", 1.0))
+        tw = props0.get("toWorld")
+        if tw is not None:
+            tw = np.asarray(tw)
+            p1 = np.asarray(tf.apply_point(tw, p1))
+            p2 = np.asarray(tf.apply_point(tw, p2))
+            radius *= float(np.linalg.norm(tw[:3, 0]))
+        analytic = ("cylinder", p1, p2, radius)
+        mesh = None
+    else:
+        mesh = load_shape_mesh(shape_node, base_dir)
     bsdf = _find(shape_node, "bsdf")
     lum = _find(shape_node, "luminaire")
     # interior medium bound to the shape (reference: <medium> child named
@@ -254,6 +285,24 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
             mid, ss_c, sa_c, g=float(sp.get("g", 0.0)), eta=eta,
             ss_factor=_sp3("ssFactor", 1.0),
             n_points=int(sp.get("irrSamples", 512)))
+    if analytic is not None and analytic[0] == "sphere":
+        _, center, radius = analytic
+        if lum is not None:
+            radiance = _spec(lum["props"], "intensity", 1.0)
+            eid = builder.emitters.sphere_area(center, radius, radiance)
+            builder.add_sphere(center, radius, mid, emitter_id=eid,
+                               interior_medium=interior)
+        else:
+            builder.add_sphere(center, radius, mid,
+                               interior_medium=interior)
+        return
+    if analytic is not None and analytic[0] == "cylinder":
+        _, p1, p2, radius = analytic
+        if lum is not None:
+            raise ValueError("cylinder area emitters are not supported; "
+                             "tessellate explicitly")
+        builder.add_cylinder(p1, p2, radius, mid, interior_medium=interior)
+        return
     if lum is not None:
         if lum["type"] not in ("area", ""):
             raise ValueError("only area luminaires can be attached to shapes")

@@ -72,49 +72,85 @@ def _interval_mul(alo, ahi, blo, bhi):
             jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "w_cap"))
-def build_worklist(o, d, mint, maxt, cl_bmin, cl_bmax,
-                   n_rows: int, w_cap: int):
-    """Build the flat (row, cluster) work list.
-
-    o, d: (N, 3) with N = n_rows*128 (pre-padded); cl_bmin/cl_bmax: (C, 3).
-    Returns (items (W,) i32 packed, tnear_bits (W,) i32, total (,) i32).
-    Items are row-major and front-to-back within each row; every row
-    contributes >= 1 item (a row with zero candidates gets one invalid
-    "first" item so the kernel initialises its outputs)."""
-    C = cl_bmin.shape[0]
+def _row_intervals(o, d, mint, maxt, n_rows):
     ot = o.reshape(n_rows, LANES, 3)
     dt = d.reshape(n_rows, LANES, 3)
     olo, ohi = ot.min(axis=1), ot.max(axis=1)
     dlo, dhi = dt.min(axis=1), dt.max(axis=1)
     mt = maxt.reshape(n_rows, LANES)
     mt_hi = jnp.where(mt > 0, mt, 0.0).max(axis=1)
-
     spans = (dlo <= 0) & (dhi >= 0)
     safe_lo = jnp.where(spans, 1.0, dlo)
     safe_hi = jnp.where(spans, 1.0, dhi)
     ilo = jnp.clip(jnp.minimum(1.0 / safe_lo, 1.0 / safe_hi), -_BIG, _BIG)
     ihi = jnp.clip(jnp.maximum(1.0 / safe_lo, 1.0 / safe_hi), -_BIG, _BIG)
+    return olo, ohi, ilo, ihi, spans, mt_hi
 
-    a_lo = cl_bmin[None] - ohi[:, None]              # (n_rows, C, 3)
-    a_hi = cl_bmin[None] - olo[:, None]
-    b_lo = cl_bmax[None] - ohi[:, None]
-    b_hi = cl_bmax[None] - olo[:, None]
+
+def _interval_slab(bmin, bmax, olo, ohi, ilo, ihi, spans, mt_hi):
+    """Conservative slab test of per-row ray intervals vs boxes.
+
+    bmin/bmax: (n_rows, B, 3). Returns (hit, t_near) of shape
+    (n_rows, B)."""
+    a_lo = bmin - ohi[:, None]
+    a_hi = bmin - olo[:, None]
+    b_lo = bmax - ohi[:, None]
+    b_hi = bmax - olo[:, None]
     ta_lo, ta_hi = _interval_mul(a_lo, a_hi, ilo[:, None], ihi[:, None])
     tb_lo, tb_hi = _interval_mul(b_lo, b_hi, ilo[:, None], ihi[:, None])
     ent = jnp.minimum(ta_lo, tb_lo)
     ext = jnp.maximum(ta_hi, tb_hi)
     ent = jnp.where(spans[:, None], -_BIG, ent)
     ext = jnp.where(spans[:, None], _BIG, ext)
-    t_near = jnp.maximum(ent.max(axis=-1), 0.0)      # (n_rows, C)
+    t_near = jnp.maximum(ent.max(axis=-1), 0.0)
     t_far = jnp.minimum(ext.min(axis=-1), mt_hi[:, None])
-    hit = t_near <= t_far
+    return t_near <= t_far, t_near
 
-    # front-to-back order per row
-    key = jnp.where(hit, t_near, _BIG)
-    key_s, order = jax.lax.sort_key_val(
-        key, jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (n_rows, C)))
-    counts = jnp.sum(hit, axis=-1).astype(jnp.int32)  # (n_rows,)
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "w_cap", "l_sc"))
+def build_worklist(o, d, mint, maxt, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
+                   n_rows: int, w_cap: int, l_sc: int = 24):
+    """Build the flat (row, cluster) work list, two-level.
+
+    Level A culls per-row ray intervals against supercluster (8-cluster)
+    AABBs and keeps the l_sc nearest (full (n_rows, C) sorts measured
+    27-33 ms/1M rays — the coarse level caps the exact-sort width at
+    8*l_sc). Level B refines the surviving superclusters' clusters and
+    orders them front-to-back. Rows touching more than l_sc superclusters
+    OVERFLOW: their result is a lower bound only, the caller must fall
+    back (intersect.py routes them through the XLA BVH walk).
+
+    o, d: (N, 3) with N = n_rows*128 (pre-padded).
+    Returns (items (W,) i32 packed, total (,) i32, overflow (n_rows,) bool).
+    Items are row-major and front-to-back within each row; every row
+    contributes >= 1 item (a row with zero candidates gets one invalid
+    "first" item so the kernel initialises its outputs)."""
+    C = cl_bmin.shape[0]
+    c_s = sc_bmin.shape[0]
+    l_sc = min(l_sc, c_s)
+    olo, ohi, ilo, ihi, spans, mt_hi = _row_intervals(
+        o, d, mint, maxt, n_rows)
+
+    hit_a, tn_a = _interval_slab(
+        jnp.broadcast_to(sc_bmin[None], (n_rows, c_s, 3)),
+        jnp.broadcast_to(sc_bmax[None], (n_rows, c_s, 3)),
+        olo, ohi, ilo, ihi, spans, mt_hi)
+    key_a = jnp.where(hit_a, tn_a, _BIG)
+    neg_top, sc_ids = jax.lax.top_k(-key_a, l_sc)     # ascending t_near
+    sc_ok = -neg_top < _BIG
+    overflow = jnp.sum(hit_a, axis=-1) > l_sc
+
+    # level B: the kept superclusters' 8 clusters each
+    cand = (sc_ids[:, :, None] * 8
+            + jnp.arange(8, dtype=jnp.int32)[None, None, :]).reshape(
+                n_rows, l_sc * 8)
+    cand = jnp.clip(cand, 0, C - 1)
+    hit_b, tn_b = _interval_slab(
+        cl_bmin[cand], cl_bmax[cand], olo, ohi, ilo, ihi, spans, mt_hi)
+    hit_b = hit_b & jnp.repeat(sc_ok, 8, axis=1)
+    key_b = jnp.where(hit_b, tn_b, _BIG)
+    key_s, order = jax.lax.sort_key_val(key_b, cand)
+    counts = jnp.sum(hit_b, axis=-1).astype(jnp.int32)
 
     # flat packing: row r owns slots [off[r], off[r] + max(counts[r], 1))
     eff = jnp.maximum(counts, 1)
@@ -128,7 +164,7 @@ def build_worklist(o, d, mint, maxt, cl_bmin, cl_bmax,
     real = w < total
     valid = real & (k < counts[r])
     first = real & (k == 0)
-    kc = jnp.minimum(k, C - 1)
+    kc = jnp.minimum(k, l_sc * 8 - 1)
     cid = order[r, kc]
     items = (cid.astype(jnp.int32)
              | jnp.where(first, _FIRST_BIT, 0)
@@ -137,8 +173,8 @@ def build_worklist(o, d, mint, maxt, cl_bmin, cl_bmax,
     # padding items: repeat the final row/cid so no DMA is issued
     pad_item = ((n_rows - 1) << _ROW_SHIFT) | cid[-1]
     items = jnp.where(real, items, pad_item)
-    tnear_bits = jnp.where(valid, key_s[r, kc], _BIG).view(jnp.int32)
-    return items, tnear_bits, total
+    overflow = overflow | (off[:-1] + counts > w_cap)
+    return items, total, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -205,11 +241,30 @@ def _prim_cand(k_run):
     return k_run * 8 + sub
 
 
+def _slab_can_improve(tri_ref, rays, tb, mnb):
+    """(1,128) per-lane test: can this cluster (AABB embedded in the block,
+    row 0 cols 9:15) possibly beat the lane's current best t?"""
+    o = (rays[0, 0:1, :], rays[0, 1:2, :], rays[0, 2:3, :])
+    d = (rays[0, 3:4, :], rays[0, 4:5, :], rays[0, 5:6, :])
+    tn = mnb
+    tf = tb
+    for j in range(3):
+        bmin = tri_ref[0, 0:1, 9 + j:10 + j]
+        bmax = tri_ref[0, 0:1, 12 + j:13 + j]
+        inv = jnp.where(d[j] >= 0, 1.0, -1.0) / jnp.maximum(
+            jnp.abs(d[j]), 1e-12)
+        t0 = (bmin - o[j]) * inv
+        t1 = (bmax - o[j]) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    return tn <= tf
+
+
 def _make_closest_kernel(k_cl):
     # output block (1, 8, 128): rows 0=t, 1=u, 2=v, 3=prim (int32 bits
     # bitcast into the f32 plane), 4-7 pad — Mosaic requires sublane-
     # divisible blocks, so four (1,128) outputs are packed into one
-    def kernel(items_ref, tnear_ref, starts_ref, tri_ref, rays, out):
+    def kernel(items_ref, starts_ref, tri_ref, rays, out):
         w = pl.program_id(0)
         item = items_ref[w]
 
@@ -224,40 +279,43 @@ def _make_closest_kernel(k_cl):
             out[0, 3:4, :] = neg1
             out[0, 4:8, :] = jnp.zeros((4, LANES), jnp.float32)
 
-        # early exit: best-so-far across the row vs cluster entry distance
-        # (bitcast must be a VECTOR op on TPU; int compare of float bits is
-        # monotone for the non-negative t/tnear values here)
-        t_best_bits = jnp.max(_f32_bits(out[0, 0:1, :]))
-
-        @pl.when(((item & _VALID_BIT) != 0)
-                 & (tnear_ref[w] < t_best_bits))
+        @pl.when((item & _VALID_BIT) != 0)
         def _work():
-            cid = item & (_FIRST_BIT - 1)
             tb = out[0, 0:1, :]
-            t_run, k_run, u_run, v_run = _mt_chunks(
-                tri_ref, rays[0], rays[0, 6:7, :], tb, k_cl)
-            tmin = jnp.min(t_run, axis=0, keepdims=True)
-            improved = tmin < tb
-            # unique winner: smallest prim among t==tmin
-            pc = _prim_cand(k_run)
-            win = t_run <= tmin
-            psel = jnp.min(jnp.where(win, pc, jnp.int32(2 ** 30)),
-                           axis=0, keepdims=True)
-            w2 = (win & (pc == psel)).astype(jnp.float32)
-            usel = jnp.sum(w2 * u_run, axis=0, keepdims=True)
-            vsel = jnp.sum(w2 * v_run, axis=0, keepdims=True)
-            start_c = starts_ref[cid]
-            prim_new = jax.lax.bitcast_convert_type(
-                start_c + psel, jnp.float32)
-            out[0, 0:1, :] = jnp.where(improved, tmin, tb)
-            out[0, 1:2, :] = jnp.where(improved, usel, out[0, 1:2, :])
-            out[0, 2:3, :] = jnp.where(improved, vsel, out[0, 2:3, :])
-            out[0, 3:4, :] = jnp.where(improved, prim_new, out[0, 3:4, :])
+            mnb = rays[0, 6:7, :]
+            # per-lane early exit: the cluster block embeds its AABB;
+            # front-to-back item order makes rows terminate early once
+            # every lane's best t is in front of the remaining clusters
+            can = _slab_can_improve(tri_ref, rays, tb, mnb)
+
+            @pl.when(jnp.max(can.astype(jnp.int32)) > 0)
+            def _do():
+                cid = item & (_FIRST_BIT - 1)
+                t_run, k_run, u_run, v_run = _mt_chunks(
+                    tri_ref, rays[0], mnb, tb, k_cl)
+                tmin = jnp.min(t_run, axis=0, keepdims=True)
+                improved = tmin < tb
+                # unique winner: smallest prim among t==tmin
+                pc = _prim_cand(k_run)
+                win = t_run <= tmin
+                psel = jnp.min(jnp.where(win, pc, jnp.int32(2 ** 30)),
+                               axis=0, keepdims=True)
+                w2 = (win & (pc == psel)).astype(jnp.float32)
+                usel = jnp.sum(w2 * u_run, axis=0, keepdims=True)
+                vsel = jnp.sum(w2 * v_run, axis=0, keepdims=True)
+                start_c = starts_ref[cid]
+                prim_new = jax.lax.bitcast_convert_type(
+                    start_c + psel, jnp.float32)
+                out[0, 0:1, :] = jnp.where(improved, tmin, tb)
+                out[0, 1:2, :] = jnp.where(improved, usel, out[0, 1:2, :])
+                out[0, 2:3, :] = jnp.where(improved, vsel, out[0, 2:3, :])
+                out[0, 3:4, :] = jnp.where(improved, prim_new,
+                                           out[0, 3:4, :])
     return kernel
 
 
 def _make_any_kernel(k_cl):
-    def kernel(items_ref, tnear_ref, starts_ref, tri_ref, rays, occ_o):
+    def kernel(items_ref, starts_ref, tri_ref, rays, occ_o):
         w = pl.program_id(0)
         item = items_ref[w]
 
@@ -275,11 +333,6 @@ def _make_any_kernel(k_cl):
             row_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
             occ_o[0, 0:1, :] = occ_o[0, 0:1, :] | row_hit
     return kernel
-
-
-# ---------------------------------------------------------------------------
-# host glue
-# ---------------------------------------------------------------------------
 
 def _pack_rays(o, d, mint, maxt):
     n = o.shape[0]
@@ -301,38 +354,39 @@ def _pack_rays(o, d, mint, maxt):
 def _row_spec():
     return pl.BlockSpec(
         (1, 8, LANES),
-        lambda w, items, tnear, starts: (items[w] >> _ROW_SHIFT, 0, 0),
+        lambda w, items, starts: (items[w] >> _ROW_SHIFT, 0, 0),
         memory_space=pltpu.VMEM)
 
 
 def _out_spec():
     return pl.BlockSpec(
         (1, 8, LANES),
-        lambda w, items, tnear, starts: (items[w] >> _ROW_SHIFT, 0, 0),
+        lambda w, items, starts: (items[w] >> _ROW_SHIFT, 0, 0),
         memory_space=pltpu.VMEM)
 
 
 def _tri_spec(k_cl):
     return pl.BlockSpec(
         (1, k_cl, 16),
-        lambda w, items, tnear, starts: (items[w] & (_FIRST_BIT - 1), 0, 0),
+        lambda w, items, starts: (items[w] & (_FIRST_BIT - 1), 0, 0),
         memory_space=pltpu.VMEM)
 
 
-def _call(kernel, out_dtype, geom_cl, o, d, mint, maxt, w_factor,
+def _call(kernel, out_dtype, geom_cl, o, d, mint, maxt, w_factor, l_sc,
           interpret=False):
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
     k_cl = geom_cl["tri"].shape[1]
     w_cap = n_rows * w_factor
-    items, tnear, total = build_worklist(
+    items, total, overflow = build_worklist(
         rays[:, 0:3].transpose(0, 2, 1).reshape(-1, 3),
         rays[:, 3:6].transpose(0, 2, 1).reshape(-1, 3),
         rays[:, 6].reshape(-1), rays[:, 7].reshape(-1),
-        geom_cl["bmin"], geom_cl["bmax"], n_rows, w_cap)
+        geom_cl["bmin"], geom_cl["bmax"],
+        geom_cl["sc_bmin"], geom_cl["sc_bmax"], n_rows, w_cap, l_sc)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,          # items, tnear, starts
+            num_scalar_prefetch=2,          # items, starts
             grid=(w_cap,),
             in_specs=[_tri_spec(k_cl), _row_spec()],
             out_specs=_out_spec(),
@@ -341,37 +395,39 @@ def _call(kernel, out_dtype, geom_cl, o, d, mint, maxt, w_factor,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(items, tnear, geom_cl["tri_start"], geom_cl["tri"], rays)
-    return out, n, total
+    )(items, geom_cl["tri_start"], geom_cl["tri"], rays)
+    return out, n, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("w_factor", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("w_factor", "l_sc", "interpret"))
 def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
-               interpret: bool = False):
-    """Closest hit. geom_cl: dict with tri (C,CLUSTER_K,16) f32,
-    tri_start (C,) i32, bmin/bmax (C,3) f32.
-    Returns (t, u, v, prim, valid, overflowed)."""
-    out, n, total = _call(
+               l_sc: int = 24, interpret: bool = False):
+    """Closest hit. geom_cl: dict with tri (C,K,16) f32, tri_start (C,)
+    i32, bmin/bmax (C,3) f32, sc_bmin/sc_bmax (C_s,3) f32.
+    Returns (t, u, v, prim, valid, overflow (n_rows,) bool) — lanes in
+    overflowing rows carry a LOWER BOUND only; the caller must re-resolve
+    them (intersect.py falls back to the XLA BVH walk)."""
+    out, n, overflow = _call(
         _make_closest_kernel(geom_cl["tri"].shape[1]), jnp.float32,
-        geom_cl, o, d, mint, maxt, w_factor, interpret)
+        geom_cl, o, d, mint, maxt, w_factor, l_sc, interpret)
     t = out[:, 0, :].reshape(-1)[:n]
     u = out[:, 1, :].reshape(-1)[:n]
     v = out[:, 2, :].reshape(-1)[:n]
     prim = jax.lax.bitcast_convert_type(out[:, 3, :],
                                         jnp.int32).reshape(-1)[:n]
     valid = prim >= 0
-    n_rows = pl.cdiv(o.shape[0], LANES)
-    return (jnp.where(valid, t, jnp.inf), u, v, prim, valid,
-            total > n_rows * w_factor)
+    return (jnp.where(valid, t, jnp.inf), u, v, prim, valid, overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("w_factor", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("w_factor", "l_sc", "interpret"))
 def wl_any(geom_cl, o, d, mint, maxt, w_factor: int = 16,
-           interpret: bool = False):
-    """Shadow/any-hit query. Returns (occluded bool mask, overflowed)."""
-    out, n, total = _call(
+           l_sc: int = 24, interpret: bool = False):
+    """Shadow/any-hit query. Returns (occluded bool mask,
+    overflow (n_rows,) bool — see wl_closest)."""
+    out, n, overflow = _call(
         _make_any_kernel(geom_cl["tri"].shape[1]), jnp.int32,
-        geom_cl, o, d, mint, maxt, w_factor, interpret)
+        geom_cl, o, d, mint, maxt, w_factor, l_sc, interpret)
     occ = out[:, 0, :].reshape(-1)[:n]
-    n_rows = pl.cdiv(o.shape[0], LANES)
-    return occ.astype(bool), total > n_rows * w_factor
+    return occ.astype(bool), overflow

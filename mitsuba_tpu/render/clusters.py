@@ -158,24 +158,34 @@ class MTTables:
     12.8 us per HIGHEST matmul on v5e), while the VPU does the same
     ~40 flops/pair in exact f32 — so v2 intersects on the VPU from raw
     v0/e1/e2 (8 tris per sublane-chunk x 128 ray lanes)."""
-    tri: np.ndarray        # (C, K, 16) f32: [v0(3) e1(3) e2(3) pad]
-    tri_start: np.ndarray  # (C,) i32 first tri of each cluster
-    bmin: np.ndarray       # (C, 3) f32 cluster AABBs
-    bmax: np.ndarray       # (C, 3) f32
+    tri: np.ndarray        # (C_pad, K, 16) f32: [v0(3) e1(3) e2(3) pad];
+                           #   row 0 cols 9:15 carry the cluster AABB
+    tri_start: np.ndarray  # (C_pad,) i32 first tri of each cluster
+    bmin: np.ndarray       # (C_pad, 3) f32 cluster AABBs (inverted when pad)
+    bmax: np.ndarray       # (C_pad, 3) f32
+    sc_bmin: np.ndarray    # (C_s, 3) supercluster (8-group) AABBs
+    sc_bmax: np.ndarray    # (C_s, 3)
 
 
 def build_mt_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-                    ranges, k: int = CLUSTER_K) -> MTTables:
+                    ranges, k: int = CLUSTER_K,
+                    sc_group: int = SC_GROUP) -> MTTables:
     """v0/e1/e2: (T,3) f32 triangle soup in BVH order; ranges from
-    cut_clusters(..., max_k=k)."""
+    cut_clusters(..., max_k=k). Clusters are padded to a multiple of
+    sc_group and grouped into superclusters (the coarse cull level);
+    padding clusters carry inverted AABBs so no test ever passes. Each
+    cluster block embeds its own AABB (row 0, cols 9:15) for the kernel's
+    per-lane early-exit slab test."""
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
     c = len(ranges)
-    tri = np.zeros((c, k, 16), np.float32)
-    tri_start = np.zeros(c, np.int32)
-    bmin = np.full((c, 3), 1e30, np.float32)
-    bmax = np.full((c, 3), -1e30, np.float32)
+    c_s = max(1, -(-c // sc_group))
+    c_pad = c_s * sc_group
+    tri = np.zeros((c_pad, k, 16), np.float32)
+    tri_start = np.zeros(c_pad, np.int32)
+    bmin = np.full((c_pad, 3), 1e30, np.float32)
+    bmax = np.full((c_pad, 3), -1e30, np.float32)
     va = v0 + e1
     vb = v0 + e2
     tmin = np.minimum(np.minimum(v0, va), vb)
@@ -189,4 +199,9 @@ def build_mt_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         tri_start[ci] = start
         bmin[ci] = tmin[sl].min(0)
         bmax[ci] = tmax[sl].max(0)
-    return MTTables(tri=tri, tri_start=tri_start, bmin=bmin, bmax=bmax)
+    tri[:, 0, 9:12] = bmin
+    tri[:, 0, 12:15] = bmax
+    sc_bmin = bmin.reshape(c_s, sc_group, 3).min(1)
+    sc_bmax = bmax.reshape(c_s, sc_group, 3).max(1)
+    return MTTables(tri=tri, tri_start=tri_start, bmin=bmin, bmax=bmax,
+                    sc_bmin=sc_bmin, sc_bmax=sc_bmax)

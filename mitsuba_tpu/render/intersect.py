@@ -60,6 +60,20 @@ class GeometryTables:
     cl_start: jnp.ndarray = None     # (C,) first-tri index per cluster
     cl_sc_bmin: jnp.ndarray = None   # (C_s, 3) supercluster bounds
     cl_sc_bmax: jnp.ndarray = None   # (C_s, 3)
+    # analytic primitives (reference src/shapes/sphere.cpp:359 analytic
+    # intersection, cylinder.cpp — NOT tessellated). Prim-id space:
+    # triangles [0,T), spheres [T,T+S), cylinders [T+S,T+S+C).
+    sph_c: jnp.ndarray = None        # (S, 3) centers
+    sph_r: jnp.ndarray = None        # (S,)  radii
+    sph_mid: jnp.ndarray = None      # (S,) material ids
+    sph_eid: jnp.ndarray = None      # (S,) emitter ids (-1 none)
+    sph_sid: jnp.ndarray = None      # (S,) shape ids
+    cyl_a: jnp.ndarray = None        # (C, 3) axis start
+    cyl_b: jnp.ndarray = None        # (C, 3) axis end
+    cyl_r: jnp.ndarray = None        # (C,)
+    cyl_mid: jnp.ndarray = None
+    cyl_eid: jnp.ndarray = None
+    cyl_sid: jnp.ndarray = None
     backend: str = static_field(default="brute")
 
     @property
@@ -71,17 +85,35 @@ class GeometryTables:
     def n_tris(self):
         return self.v0.shape[0]
 
+    @property
+    def n_spheres(self):
+        return 0 if self.sph_r is None else self.sph_r.shape[0]
 
-def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
-    """Assemble GeometryTables from [(TriMesh, material_id, emitter_id), ...].
+    @property
+    def n_cylinders(self):
+        return 0 if self.cyl_r is None else self.cyl_r.shape[0]
+
+    @property
+    def has_analytic(self):
+        return self.n_spheres + self.n_cylinders > 0
+
+
+def build_geometry(meshes_with_ids, backend: str = "auto",
+                   analytic=None) -> GeometryTables:
+    """Assemble GeometryTables from [(TriMesh, material_id, emitter_id
+    [, shape_id]), ...].
 
     backend: 'brute' | 'bvh' | 'cluster' | 'auto' (cluster above 64
     triangles — the streaming cluster kernel on TPU, skip-link BVH walk
     as the CPU fallback).
+    analytic: optional dict(spheres=[(c, r, mid, eid, sid)],
+    cylinders=[(a, b, r, mid, eid, sid)]) of analytic primitives.
     """
     vs, fs, ns, uvs, mids, eids, sids = [], [], [], [], [], [], []
     voff = 0
-    for sid, (mesh, mat, emit) in enumerate(meshes_with_ids):
+    for k, item in enumerate(meshes_with_ids):
+        mesh, mat, emit = item[:3]
+        sid = item[3] if len(item) > 3 else k
         vs.append(np.asarray(mesh.vertices, np.float32))
         fs.append(np.asarray(mesh.faces, np.int64) + voff)
         n = mesh.normals
@@ -146,8 +178,41 @@ def build_geometry(meshes_with_ids, backend: str = "auto") -> GeometryTables:
             cl_sc_bmin=jnp.asarray(ct.sc_bmin),
             cl_sc_bmax=jnp.asarray(ct.sc_bmax),
         )
+    ana = {}
+    if analytic:
+        sph = analytic.get("spheres") or []
+        cyl = analytic.get("cylinders") or []
+        if sph:
+            ana.update(
+                sph_c=jnp.asarray(np.asarray([x[0] for x in sph],
+                                             np.float32)),
+                sph_r=jnp.asarray(np.asarray([x[1] for x in sph],
+                                             np.float32)),
+                sph_mid=jnp.asarray(np.asarray([x[2] for x in sph],
+                                               np.int32)),
+                sph_eid=jnp.asarray(np.asarray([x[3] for x in sph],
+                                               np.int32)),
+                sph_sid=jnp.asarray(np.asarray([x[4] for x in sph],
+                                               np.int32)),
+            )
+        if cyl:
+            ana.update(
+                cyl_a=jnp.asarray(np.asarray([x[0] for x in cyl],
+                                             np.float32)),
+                cyl_b=jnp.asarray(np.asarray([x[1] for x in cyl],
+                                             np.float32)),
+                cyl_r=jnp.asarray(np.asarray([x[2] for x in cyl],
+                                             np.float32)),
+                cyl_mid=jnp.asarray(np.asarray([x[3] for x in cyl],
+                                               np.int32)),
+                cyl_eid=jnp.asarray(np.asarray([x[4] for x in cyl],
+                                               np.int32)),
+                cyl_sid=jnp.asarray(np.asarray([x[5] for x in cyl],
+                                               np.int32)),
+            )
     return GeometryTables(
         **cl,
+        **ana,
         v0=jnp.asarray(tri[:, 0]),
         e1=jnp.asarray(tri[:, 1] - tri[:, 0]),
         e2=jnp.asarray(tri[:, 2] - tri[:, 0]),
@@ -373,9 +438,9 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
-    """Closest-hit query → full Intersection record (reference
-    skdtree.h:352 fillIntersectionRecord equivalent)."""
+def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
+    """Triangle-only closest-hit query → full Intersection record
+    (reference skdtree.h:352 fillIntersectionRecord equivalent)."""
     if geom.backend == "brute" and _use_pallas():
         # fused kernel: shading record interpolated on-chip, no HBM gathers
         from mitsuba_tpu.ops import intersect_pallas as ip
@@ -451,8 +516,8 @@ def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
     )
 
 
-def ray_intersect_and_test(geom: GeometryTables, ray: Ray,
-                           sray: Ray):
+def _ray_intersect_and_test_tri(geom: GeometryTables, ray: Ray,
+                                sray: Ray):
     """Fused closest-hit (ray) + shadow any-hit (sray) — one Pallas launch
     with a shared triangle loop on the TPU brute path; separate queries
     elsewhere.  Returns (Intersection, occluded)."""
@@ -486,12 +551,10 @@ def ray_intersect_and_test(geom: GeometryTables, ray: Ray,
             shape_id=jnp.where(valid, r["shape_id"], -1),
         )
         return its, occ
-    return ray_intersect(geom, ray), ray_test(geom, sray)
+    return _ray_intersect_tri(geom, ray), _ray_test_tri(geom, sray)
 
 
-def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
-    """Any-hit (shadow ray) query → bool occlusion mask (reference
-    scene.h:241 isOccluded equivalent)."""
+def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
     if geom.backend == "cluster" and _use_pallas():
         from mitsuba_tpu.ops import cluster_pallas as cp
 
@@ -513,3 +576,179 @@ def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
         table = ip.make_tri_table(geom.v0, geom.e1, geom.e2)
         return ip.any_hit(table, ray.o, ray.d, ray.mint, ray.maxt)
     return _any_brute(geom, ray)
+
+
+# ---------------------------------------------------------------------------
+# Analytic primitives (reference src/shapes/sphere.cpp, cylinder.cpp):
+# intersected in plain XLA against every ray (S and C are small) and merged
+# with the triangle result — no prim-type switch inside the Pallas kernels.
+# ---------------------------------------------------------------------------
+
+def _sphere_closest(geom: GeometryTables, ray: Ray):
+    """(t, sphere_index, valid) of the nearest analytic sphere hit."""
+    c = geom.sph_c
+    r = geom.sph_r
+    oc = ray.o[:, None, :] - c[None]                  # (N, S, 3)
+    b = jnp.sum(oc * ray.d[:, None, :], axis=-1)      # (N, S)
+    cq = jnp.sum(oc * oc, axis=-1) - r[None] ** 2
+    disc = b * b - cq
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    mn = ray.mint[:, None]
+    mx = ray.maxt[:, None]
+    t = jnp.where(ok & (t0 > mn), t0,
+                  jnp.where(ok & (t1 > mn), t1, jnp.inf))
+    t = jnp.where(t < mx, t, jnp.inf)
+    idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    tb = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    return tb, idx, jnp.isfinite(tb)
+
+
+def _cylinder_closest(geom: GeometryTables, ray: Ray):
+    """(t, cyl_index, valid): finite open cylinder (no end caps —
+    reference cylinder.cpp)."""
+    a = geom.cyl_a
+    bb = geom.cyl_b
+    r = geom.cyl_r
+    ax = bb - a
+    ln = jnp.maximum(jnp.linalg.norm(ax, axis=-1), 1e-12)
+    u = ax / ln[:, None]                                # (C, 3)
+    oc = ray.o[:, None, :] - a[None]                    # (N, C, 3)
+    du = jnp.sum(ray.d[:, None, :] * u[None], axis=-1)  # (N, C)
+    ou = jnp.sum(oc * u[None], axis=-1)
+    dp = ray.d[:, None, :] - du[..., None] * u[None]
+    op = oc - ou[..., None] * u[None]
+    A = jnp.maximum(jnp.sum(dp * dp, axis=-1), 1e-12)
+    B = jnp.sum(dp * op, axis=-1)
+    Cq = jnp.sum(op * op, axis=-1) - r[None] ** 2
+    disc = B * B - A * Cq
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-B - sq) / A
+    t1 = (-B + sq) / A
+    mn = ray.mint[:, None]
+    mx = ray.maxt[:, None]
+
+    def axial_ok(t):
+        s_ax = ou + t * du
+        return (s_ax >= 0.0) & (s_ax <= ln[None])
+
+    ok0 = ok & (t0 > mn) & axial_ok(t0)
+    ok1 = ok & (t1 > mn) & axial_ok(t1)
+    t = jnp.where(ok0, t0, jnp.where(ok1, t1, jnp.inf))
+    t = jnp.where(t < mx, t, jnp.inf)
+    idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    tb = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    return tb, idx, jnp.isfinite(tb)
+
+
+def _analytic_any(geom: GeometryTables, ray: Ray):
+    occ = jnp.zeros(ray.o.shape[0], bool)
+    if geom.n_spheres > 0:
+        _, _, v = _sphere_closest(geom, ray)
+        occ = occ | v
+    if geom.n_cylinders > 0:
+        _, _, v = _cylinder_closest(geom, ray)
+        occ = occ | v
+    return occ
+
+
+def _merge_analytic(geom: GeometryTables, ray: Ray, its: Intersection):
+    """Override the triangle Intersection where an analytic primitive is
+    nearer. Prim-id space: spheres [T, T+S), cylinders [T+S, T+S+C)."""
+    T = geom.n_tris
+    best = its
+    if geom.n_spheres > 0:
+        t, i, v = _sphere_closest(geom, ray)
+        closer = v & (t < best.t)
+        p = ray.at(jnp.where(closer, t, 1.0))
+        n = m.normalize(p - geom.sph_c[i])
+        # reference sphere.cpp uv: phi/theta spherical parameterisation
+        phi = jnp.arctan2(n[:, 1], n[:, 0])
+        theta = jnp.arccos(jnp.clip(n[:, 2], -1.0, 1.0))
+        uv = jnp.stack([phi * (0.5 / jnp.pi) + 0.5, theta / jnp.pi], -1)
+        dpdu = m.normalize(jnp.stack(
+            [-n[:, 1], n[:, 0], jnp.zeros_like(n[:, 0])], -1)
+            + 1e-12 * jnp.ones((1, 3)))
+        frame = m.Frame.from_normal(n)
+        wi = frame.to_local(-ray.d)
+        best = Intersection(
+            valid=best.valid | closer,
+            t=jnp.where(closer, t, best.t),
+            p=jnp.where(closer[:, None], p, best.p),
+            geo_n=jnp.where(closer[:, None], n, best.geo_n),
+            sh_n=jnp.where(closer[:, None], n, best.sh_n),
+            uv=jnp.where(closer[:, None], uv, best.uv),
+            dp_du=jnp.where(closer[:, None], dpdu, best.dp_du),
+            wi=jnp.where(closer[:, None], wi, best.wi),
+            prim_id=jnp.where(closer, T + i, best.prim_id),
+            shape_id=jnp.where(closer, geom.sph_sid[i], best.shape_id),
+            material_id=jnp.where(closer, geom.sph_mid[i],
+                                  best.material_id),
+            emitter_id=jnp.where(closer, geom.sph_eid[i], best.emitter_id),
+        )
+    if geom.n_cylinders > 0:
+        t, i, v = _cylinder_closest(geom, ray)
+        closer = v & (t < best.t)
+        a = geom.cyl_a[i]
+        ax = geom.cyl_b[i] - a
+        ln = jnp.maximum(jnp.linalg.norm(ax, axis=-1), 1e-12)
+        u_ax = ax / ln[:, None]
+        p = ray.at(jnp.where(closer, t, 1.0))
+        s_ax = jnp.sum((p - a) * u_ax, axis=-1)
+        n = m.normalize(p - a - s_ax[:, None] * u_ax)
+        frame_phi = m.Frame.from_normal(u_ax)
+        lp = frame_phi.to_local(n)
+        phi = jnp.arctan2(lp[:, 1], lp[:, 0])
+        uv = jnp.stack([phi * (0.5 / jnp.pi) + 0.5, s_ax / ln], -1)
+        dpdu = m.normalize(jnp.cross(u_ax, n))
+        frame = m.Frame.from_normal(n)
+        wi = frame.to_local(-ray.d)
+        S = geom.n_spheres
+        best = Intersection(
+            valid=best.valid | closer,
+            t=jnp.where(closer, t, best.t),
+            p=jnp.where(closer[:, None], p, best.p),
+            geo_n=jnp.where(closer[:, None], n, best.geo_n),
+            sh_n=jnp.where(closer[:, None], n, best.sh_n),
+            uv=jnp.where(closer[:, None], uv, best.uv),
+            dp_du=jnp.where(closer[:, None], dpdu, best.dp_du),
+            wi=jnp.where(closer[:, None], wi, best.wi),
+            prim_id=jnp.where(closer, T + S + i, best.prim_id),
+            shape_id=jnp.where(closer, geom.cyl_sid[i], best.shape_id),
+            material_id=jnp.where(closer, geom.cyl_mid[i],
+                                  best.material_id),
+            emitter_id=jnp.where(closer, geom.cyl_eid[i], best.emitter_id),
+        )
+    return best
+
+
+def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
+    """Closest-hit query → full Intersection record; triangles via the
+    backend kernels, analytic primitives merged in XLA."""
+    its = _ray_intersect_tri(geom, ray)
+    if geom.has_analytic:
+        its = _merge_analytic(geom, ray, its)
+    return its
+
+
+def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
+    """Any-hit (shadow ray) query → bool occlusion mask (reference
+    scene.h:241 isOccluded equivalent)."""
+    occ = _ray_test_tri(geom, ray)
+    if geom.has_analytic:
+        occ = occ | _analytic_any(geom, ray)
+    return occ
+
+
+def ray_intersect_and_test(geom: GeometryTables, ray: Ray, sray: Ray):
+    """Fused closest-hit (ray) + shadow any-hit (sray) — one Pallas launch
+    with a shared triangle loop on the TPU brute path; separate queries
+    elsewhere.  Returns (Intersection, occluded)."""
+    its, occ = _ray_intersect_and_test_tri(geom, ray, sray)
+    if geom.has_analytic:
+        its = _merge_analytic(geom, ray, its)
+        occ = occ | _analytic_any(geom, sray)
+    return its, occ

@@ -58,7 +58,9 @@ class SceneBuilder:
         self.materials = MaterialBuilder()
         self.emitters = EmitterBuilder()
         self.textures = TextureBuilder(build_mips=build_mips)
-        self._shapes = []     # (mesh, material_id, emitter_id)
+        self._shapes = []     # (mesh, material_id, emitter_id, shape_id)
+        self._analytic = dict(spheres=[], cylinders=[])
+        self._n_shapes = 0          # shared id space: meshes + analytic
         self._shape_interior = []   # per shape: medium index or -1
         self._media = []            # (sigma_s, sigma_a, g)
         self._subsurface = []       # dicts: material_id, sigma_s, ...
@@ -97,9 +99,41 @@ class SceneBuilder:
 
     def add_shape(self, mesh, material_id, emitter_id=-1,
                   interior_medium: int = -1):
-        self._shapes.append((mesh, material_id, emitter_id))
+        sid = self._n_shapes
+        self._n_shapes += 1
+        self._shapes.append((mesh, material_id, emitter_id, sid))
         self._shape_interior.append(int(interior_medium))
-        return len(self._shapes) - 1
+        return sid
+
+    def add_sphere(self, center, radius, material_id, emitter_id=-1,
+                   interior_medium: int = -1):
+        """Analytic sphere primitive (reference src/shapes/sphere.cpp —
+        exact quadratic intersection, NOT tessellated)."""
+        sid = self._n_shapes
+        self._n_shapes += 1
+        self._analytic["spheres"].append(
+            (tuple(center), float(radius), int(material_id),
+             int(emitter_id), sid))
+        self._shape_interior.append(int(interior_medium))
+        return sid
+
+    def add_sphere_emitter(self, center, radius, material_id, radiance):
+        """Analytic sphere area light, sampled by solid angle
+        (reference sphere.cpp:359 sampleSolidAngle)."""
+        eid = self.emitters.sphere_area(center, radius, radiance)
+        return self.add_sphere(center, radius, material_id, emitter_id=eid)
+
+    def add_cylinder(self, p0, p1, radius, material_id, emitter_id=-1,
+                     interior_medium: int = -1):
+        """Analytic open cylinder (reference src/shapes/cylinder.cpp —
+        no end caps)."""
+        sid = self._n_shapes
+        self._n_shapes += 1
+        self._analytic["cylinders"].append(
+            (tuple(p0), tuple(p1), float(radius), int(material_id),
+             int(emitter_id), sid))
+        self._shape_interior.append(int(interior_medium))
+        return sid
 
     def add_area_emitter_shape(self, mesh, material_id, radiance):
         eid = self.emitters.area(mesh, radiance)
@@ -123,9 +157,21 @@ class SceneBuilder:
         return scene
 
     def _build_impl(self, backend: str) -> Scene:
-        if not self._shapes:
+        if not self._shapes and not (self._analytic["spheres"]
+                                     or self._analytic["cylinders"]):
             raise ValueError("scene has no shapes")
-        geom = build_geometry(self._shapes, backend=backend)
+        if not self._shapes:
+            # analytic-only scene: the triangle tables still need >=1 row;
+            # a degenerate far-away triangle never hits
+            from mitsuba_tpu.render import mesh as _mesh_mod
+
+            far = _mesh_mod.make_quad((1e8, 1e8, 1e8), (1e8, 1e8, 1e8),
+                                      (1e8, 1e8, 1e8), (1e8, 1e8, 1e8))
+            self._shapes.append((far, 0, -1, self._n_shapes))
+            self._n_shapes += 1
+            self._shape_interior.append(-1)
+        geom = build_geometry(self._shapes, backend=backend,
+                              analytic=self._analytic)
         # triangle->emitter binding arrives in BVH order inside geom
         tri_emitter = np.asarray(geom.emitter_id)
         # areas in the same (BVH) order

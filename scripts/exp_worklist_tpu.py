@@ -55,7 +55,9 @@ def main():
     print("K_CL:", K_CL, "clusters:", mt.tri.shape[0])
     geom_cl = dict(tri=jnp.asarray(mt.tri),
                    tri_start=jnp.asarray(mt.tri_start),
-                   bmin=jnp.asarray(mt.bmin), bmax=jnp.asarray(mt.bmax))
+                   bmin=jnp.asarray(mt.bmin), bmax=jnp.asarray(mt.bmax),
+                   sc_bmin=jnp.asarray(mt.sc_bmin),
+                   sc_bmax=jnp.asarray(mt.sc_bmax))
     perm_j = jnp.asarray(perm)
 
     n = 1024 * 1024
@@ -68,15 +70,16 @@ def main():
     mint = jnp.full(n, 1e-4)
     maxt = jnp.full(n, 1e9)
 
-    # correctness vs v1 on 64k strided rays
-    sel = slice(None, None, 16)
+    # correctness vs v1 on a CONTIGUOUS 64k block (strided subsets make
+    # rows artificially wide -> overflow -> meaningless comparison)
+    sel = slice(256 * 1024, 256 * 1024 + 64 * 1024)
     ro, rd, rmn, rmx = ray.o[sel], ray.d[sel], mint[sel], maxt[sel]
     t1, u1, v1_, p1, ok1 = cp.cluster_closest(
         geom.cluster_tables, ro, rd, rmn, rmx)
     t2, u2, v2_, p2, ok2, ovf = wp.wl_closest(geom_cl, ro, rd, rmn, rmx)
     p2g = jnp.where(ok2, perm_j[jnp.maximum(p2, 0)], -1)
     ok1n, ok2n = np.asarray(ok1), np.asarray(ok2)
-    print("overflow:", bool(ovf))
+    print("overflow rows:", float(jnp.mean(ovf.astype(jnp.float32))))
     print("hit agree:", (ok1n == ok2n).mean(), "hits v1:", ok1n.mean(),
           "v2:", ok2n.mean())
     both = ok1n & ok2n
@@ -118,16 +121,19 @@ def main():
     @jax.jit
     def lists_only(o, d, mint, maxt, salt):
         rays, _, n_rows = wp._pack_rays(o + salt * 0.0, d, mint, maxt)
-        items, tnear, total = wp.build_worklist(
+        items, total, overflow = wp.build_worklist(
             rays[:, 0:3].transpose(0, 2, 1).reshape(-1, 3),
             rays[:, 3:6].transpose(0, 2, 1).reshape(-1, 3),
             rays[:, 6].reshape(-1), rays[:, 7].reshape(-1),
-            geom_cl["bmin"], geom_cl["bmax"], n_rows, n_rows * 16)
-        return (total.astype(jnp.float32), total)
+            geom_cl["bmin"], geom_cl["bmax"],
+            geom_cl["sc_bmin"], geom_cl["sc_bmax"], n_rows, n_rows * 16, 24)
+        return (total.astype(jnp.float32), total,
+                jnp.sum(overflow.astype(jnp.int32)))
 
     salt = jnp.zeros(())
     tot = lists_only(ray.o, ray.d, mint, maxt, salt)
-    print("camera worklist total:", int(tot[1]), "cap:", (n // 128) * 16)
+    print("camera worklist total:", int(tot[1]), "cap:", (n // 128) * 16,
+          "overflow rows:", int(tot[2]))
     bench("v2 lists-only camera 1M", lists_only, ray.o, ray.d, mint, maxt,
           salt)
     bench("v2 closest camera 1M", run_v2, ray.o, ray.d, mint, maxt, salt)
@@ -156,9 +162,11 @@ def main():
     o_so, d_so = o_r[order_o], d_r[order_o]
 
     tot = lists_only(o_s, d_s, mint, maxt, salt)
-    print("sorted-incoherent worklist total:", int(tot[1]))
+    print("sorted-incoherent worklist total:", int(tot[1]),
+          "overflow rows:", int(tot[2]))
     tot = lists_only(o_so, d_so, mint, maxt, salt)
-    print("octant-sorted worklist total:", int(tot[1]))
+    print("octant-sorted worklist total:", int(tot[1]),
+          "overflow rows:", int(tot[2]))
     bench("v2 closest morton-sorted 1M", run_v2, o_s, d_s, mint, maxt, salt)
     bench("v2 closest octant-sorted 1M", run_v2, o_so, d_so, mint, maxt,
           salt)
