@@ -266,3 +266,110 @@ def photonmapper_render(scene, cfg: PathConfig, n_photons: int = 150_000,
     img = L.reshape(h, w, spp, 3).mean(axis=2)
     return img, {"n_photons": n_photons, "radius": radius,
                  "n_caustic": int(caustic.sum()), "gather": gather_samples}
+
+
+def sppm_render(scene, cfg: PathConfig, n_photons_per_pass: int = 100_000,
+                n_passes: int = 8, alpha: float = 0.7,
+                initial_radius: float | None = None, seed: int = 0):
+    """Stochastic progressive photon mapping with PER-PIXEL statistics
+    (reference sppm.cpp:33 — distinct from ppm_render's global radius
+    schedule). Each pixel i carries (R_i, N_i, tau_i); per pass with M_i
+    gathered photons (Hachisuka & Jensen 2009):
+
+        N'   = N + alpha * M
+        R'   = R * sqrt(N' / (N + M))          (no-op when M = 0)
+        tau' = (tau + albedo/pi * Phi / n_photons) * (R'/R)^2
+
+    Camera hit points are re-jittered every pass (the S in SPPM), so
+    distributed effects (anti-aliasing, DoF) converge too. The final
+    estimate is tau / (pi R^2 * passes) + averaged direct light (Le +
+    one-sample NEE per pass)."""
+    from mitsuba_tpu.bsdfs import bsdf_eval
+    from mitsuba_tpu.emitters import eval_emitter_hit, sample_direct
+    from mitsuba_tpu.render.intersect import ray_test
+
+    w, h = scene.width, scene.height
+    n = w * h
+    pixel_id = jnp.arange(n)
+    px = (pixel_id % w).astype(jnp.float32)
+    py = (pixel_id // w).astype(jnp.float32)
+
+    # initial radius: from the first pass's photon cloud extent
+    pos0, _, _, _ = shoot_photons(scene, n_photons_per_pass,
+                                  cfg.max_depth, seed)
+    extent = float(np.linalg.norm(pos0.max(0) - pos0.min(0))) \
+        if len(pos0) else 1.0
+    r0 = initial_radius if initial_radius is not None else 0.02 * extent
+    # hash-grid cell must cover the largest (= initial) radius
+    grid_res = max(4, min(48, int(extent / max(r0, 1e-6))))
+
+    R = jnp.full(n, r0)
+    N = jnp.zeros(n)
+    tau = jnp.zeros((n, 3))
+    direct = jnp.zeros((n, 3))
+
+    @jax.jit
+    def sppm_pass(scene, grid, R, N, tau, direct, pass_seed):
+        sampler = Sampler(pass_seed, pixel_id, jnp.zeros(n, jnp.int32))
+        jitter = sampler.next_2d()
+        uv = jnp.stack([(px + jitter[:, 0]) / w,
+                        (py + jitter[:, 1]) / h], -1)
+        ray = scene.camera.sample_ray(uv)
+        its = ray_intersect(scene.geom, ray)
+        mclip = jnp.clip(its.material_id, 0, scene.materials.n_materials - 1)
+        albedo = scene.materials.reflectance[mclip]
+        sh_n = its.sh_n
+
+        def contrib(rows, d2):
+            power = rows[:, 0:3]
+            din = rows[:, 3:6]
+            side = (jnp.sum(sh_n * -din, axis=-1) > 0).astype(jnp.float32)
+            return jnp.concatenate(
+                [power * side[:, None], side[:, None]], axis=1)
+
+        g4 = grid.gather_sum(its.p, R, contrib_fn=contrib)
+        flux, M = g4[:, 0:3], g4[:, 3]
+        M = jnp.where(its.valid, M, 0.0)
+        N_new = N + alpha * M
+        ratio = jnp.where(M > 0, N_new / jnp.maximum(N + M, 1e-9), 1.0)
+        R_new = R * jnp.sqrt(ratio)
+        phi = albedo * m.INV_PI * flux / n_photons_per_pass
+        tau_new = (tau + jnp.where(its.valid[:, None], phi, 0.0)) \
+            * ratio[:, None]
+
+        # direct light: Le + one-sample NEE
+        le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d,
+                              its.geo_n)
+        u1 = sampler.next_1d()
+        u2 = sampler.next_2d()
+        ds = sample_direct(scene.emitters, scene.geom, its.p, u1, u2)
+        wo_local = its.to_local(ds.d)
+        fcos = bsdf_eval(scene.materials, its.material_id, its.wi,
+                         wo_local, albedo=albedo, uv=its.uv)
+        eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(its.p).max(-1))
+        shadow = Ray.make(its.p, ds.d, mint=eps,
+                          maxt=ds.dist * (1.0 - 1e-3))
+        occ = ray_test(scene.geom, shadow)
+        ok = its.valid & ds.valid & (ds.pdf > 0) & ~occ
+        nee = jnp.where(ok[:, None],
+                        fcos * ds.value
+                        / jnp.maximum(ds.pdf, 1e-20)[:, None], 0.0)
+        d_new = direct + jnp.where(its.valid[:, None], le + nee, 0.0)
+        return R_new, N, tau_new, d_new, N_new
+
+    for i in range(n_passes):
+        pos, power, din, nrm = shoot_photons(
+            scene, n_photons_per_pass, cfg.max_depth, seed * 131 + 7 * i + 1)
+        grid = build_photon_grid(pos, power, din, nrm, res=grid_res)
+        R, _, tau, direct, N = sppm_pass(
+            scene, grid, R, N, tau, direct, seed * 977 + i)
+
+    L = tau / (jnp.pi * jnp.maximum(R, 1e-9)[:, None] ** 2 * n_passes) \
+        + direct / n_passes
+    img = L.reshape(h, w, 3)
+    return img, {
+        "passes": n_passes,
+        "mean_radius": float(jnp.mean(R)),
+        "min_radius": float(jnp.min(R)),
+        "mean_N": float(jnp.mean(N)),
+    }

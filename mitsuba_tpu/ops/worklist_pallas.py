@@ -72,12 +72,15 @@ def _interval_mul(alo, ahi, blo, bhi):
             jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
 
 
-def _row_intervals(o, d, mint, maxt, n_rows):
-    ot = o.reshape(n_rows, LANES, 3)
-    dt = d.reshape(n_rows, LANES, 3)
-    olo, ohi = ot.min(axis=1), ot.max(axis=1)
-    dlo, dhi = dt.min(axis=1), dt.max(axis=1)
-    mt = maxt.reshape(n_rows, LANES)
+def _row_intervals(rays):
+    """Per-row conservative ray intervals from the packed (n_rows, 8, 128)
+    ray planes (no transpose round-trips — gathers and copies measured as
+    the cull's main cost)."""
+    olo = rays[:, 0:3].min(axis=2)
+    ohi = rays[:, 0:3].max(axis=2)
+    dlo = rays[:, 3:6].min(axis=2)
+    dhi = rays[:, 3:6].max(axis=2)
+    mt = rays[:, 7]
     mt_hi = jnp.where(mt > 0, mt, 0.0).max(axis=1)
     spans = (dlo <= 0) & (dhi >= 0)
     safe_lo = jnp.where(spans, 1.0, dlo)
@@ -107,9 +110,9 @@ def _interval_slab(bmin, bmax, olo, ohi, ilo, ihi, spans, mt_hi):
     return t_near <= t_far, t_near
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "w_cap", "l_sc"))
-def build_worklist(o, d, mint, maxt, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
-                   n_rows: int, w_cap: int, l_sc: int = 24):
+@functools.partial(jax.jit, static_argnames=("w_cap", "l_sc"))
+def build_worklist(rays, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
+                   w_cap: int, l_sc: int = 24):
     """Build the flat (row, cluster) work list, two-level.
 
     Level A culls per-row ray intervals against supercluster (8-cluster)
@@ -120,16 +123,16 @@ def build_worklist(o, d, mint, maxt, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
     OVERFLOW: their result is a lower bound only, the caller must fall
     back (intersect.py routes them through the XLA BVH walk).
 
-    o, d: (N, 3) with N = n_rows*128 (pre-padded).
+    rays: (n_rows, 8, 128) packed planes from _pack_rays.
     Returns (items (W,) i32 packed, total (,) i32, overflow (n_rows,) bool).
     Items are row-major and front-to-back within each row; every row
     contributes >= 1 item (a row with zero candidates gets one invalid
     "first" item so the kernel initialises its outputs)."""
     C = cl_bmin.shape[0]
+    n_rows = rays.shape[0]
     c_s = sc_bmin.shape[0]
     l_sc = min(l_sc, c_s)
-    olo, ohi, ilo, ihi, spans, mt_hi = _row_intervals(
-        o, d, mint, maxt, n_rows)
+    olo, ohi, ilo, ihi, spans, mt_hi = _row_intervals(rays)
 
     hit_a, tn_a = _interval_slab(
         jnp.broadcast_to(sc_bmin[None], (n_rows, c_s, 3)),
@@ -140,27 +143,40 @@ def build_worklist(o, d, mint, maxt, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
     sc_ok = -neg_top < _BIG
     overflow = jnp.sum(hit_a, axis=-1) > l_sc
 
-    # level B: the kept superclusters' 8 clusters each
+    # level B: the kept superclusters' 8 clusters each. Gather whole
+    # 8-cluster box blocks by supercluster id (one gather of (8,3) rows
+    # per (row, slot) instead of 8: TPU gathers measured ~8 ns/element)
     cand = (sc_ids[:, :, None] * 8
             + jnp.arange(8, dtype=jnp.int32)[None, None, :]).reshape(
                 n_rows, l_sc * 8)
     cand = jnp.clip(cand, 0, C - 1)
+    bmin_blk = cl_bmin.reshape(c_s, 8, 3)[sc_ids].reshape(
+        n_rows, l_sc * 8, 3)
+    bmax_blk = cl_bmax.reshape(c_s, 8, 3)[sc_ids].reshape(
+        n_rows, l_sc * 8, 3)
     hit_b, tn_b = _interval_slab(
-        cl_bmin[cand], cl_bmax[cand], olo, ohi, ilo, ihi, spans, mt_hi)
+        bmin_blk, bmax_blk, olo, ohi, ilo, ihi, spans, mt_hi)
     hit_b = hit_b & jnp.repeat(sc_ok, 8, axis=1)
     key_b = jnp.where(hit_b, tn_b, _BIG)
     key_s, order = jax.lax.sort_key_val(key_b, cand)
     counts = jnp.sum(hit_b, axis=-1).astype(jnp.int32)
 
-    # flat packing: row r owns slots [off[r], off[r] + max(counts[r], 1))
+    # flat packing: row r owns slots [off[r], off[r] + max(counts[r], 1)).
+    # searchsorted/per-item gathers measured ~17 ms/1M rays; instead the
+    # row index comes from a scatter of row starts + cumulative max (an
+    # associative scan) and only one small gather remains (off[r]).
     eff = jnp.maximum(counts, 1)
     off = jnp.concatenate([jnp.zeros(1, jnp.int32),
                            jnp.cumsum(eff)]).astype(jnp.int32)
     total = off[-1]
     w = jnp.arange(w_cap, dtype=jnp.int32)
-    r = jnp.searchsorted(off[1:], w, side="right").astype(jnp.int32)
-    r = jnp.minimum(r, n_rows - 1)
-    k = w - off[r]
+    starts = jnp.minimum(off[:-1], w_cap - 1)
+    rmark = jnp.zeros(w_cap, jnp.int32).at[starts].max(
+        jnp.arange(n_rows, dtype=jnp.int32), mode="drop")
+    r = jax.lax.cummax(rmark)
+    smark = jnp.zeros(w_cap, jnp.int32).at[starts].max(starts, mode="drop")
+    seg_start = jax.lax.cummax(smark)
+    k = w - seg_start
     real = w < total
     valid = real & (k < counts[r])
     first = real & (k == 0)
@@ -378,11 +394,8 @@ def _call(kernel, out_dtype, geom_cl, o, d, mint, maxt, w_factor, l_sc,
     k_cl = geom_cl["tri"].shape[1]
     w_cap = n_rows * w_factor
     items, total, overflow = build_worklist(
-        rays[:, 0:3].transpose(0, 2, 1).reshape(-1, 3),
-        rays[:, 3:6].transpose(0, 2, 1).reshape(-1, 3),
-        rays[:, 6].reshape(-1), rays[:, 7].reshape(-1),
-        geom_cl["bmin"], geom_cl["bmax"],
-        geom_cl["sc_bmin"], geom_cl["sc_bmax"], n_rows, w_cap, l_sc)
+        rays, geom_cl["bmin"], geom_cl["bmax"],
+        geom_cl["sc_bmin"], geom_cl["sc_bmax"], w_cap, l_sc)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

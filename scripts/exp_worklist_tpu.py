@@ -122,22 +122,32 @@ def main():
     def lists_only(o, d, mint, maxt, salt):
         rays, _, n_rows = wp._pack_rays(o + salt * 0.0, d, mint, maxt)
         items, total, overflow = wp.build_worklist(
-            rays[:, 0:3].transpose(0, 2, 1).reshape(-1, 3),
-            rays[:, 3:6].transpose(0, 2, 1).reshape(-1, 3),
-            rays[:, 6].reshape(-1), rays[:, 7].reshape(-1),
-            geom_cl["bmin"], geom_cl["bmax"],
-            geom_cl["sc_bmin"], geom_cl["sc_bmax"], n_rows, n_rows * 16, 24)
+            rays, geom_cl["bmin"], geom_cl["bmax"],
+            geom_cl["sc_bmin"], geom_cl["sc_bmax"], n_rows * 16, 24)
         return (total.astype(jnp.float32), total,
                 jnp.sum(overflow.astype(jnp.int32)))
 
+    from mitsuba_tpu.integrators.path import _morton_keys as _mk
+    ckeys = _mk(ray.o, ray.d, jnp.asarray(np.asarray(geom.bvh_min[0])),
+                jnp.asarray(np.asarray(geom.bvh_max[0])))
+    corder = jnp.argsort(ckeys)
+    cam_o, cam_d = ray.o[corder], ray.d[corder]
+
     salt = jnp.zeros(())
+    tot = lists_only(cam_o, cam_d, mint, maxt, salt)
+    print("morton-camera worklist total:", int(tot[1]),
+          "overflow rows:", int(tot[2]))
     tot = lists_only(ray.o, ray.d, mint, maxt, salt)
     print("camera worklist total:", int(tot[1]), "cap:", (n // 128) * 16,
           "overflow rows:", int(tot[2]))
     bench("v2 lists-only camera 1M", lists_only, ray.o, ray.d, mint, maxt,
           salt)
-    bench("v2 closest camera 1M", run_v2, ray.o, ray.d, mint, maxt, salt)
-    bench("v2 any camera 1M", run_v2_any, ray.o, ray.d, mint, maxt, salt)
+    bench("v2 closest camera-scanline 1M", run_v2, ray.o, ray.d, mint,
+          maxt, salt)
+    bench("v2 closest camera-morton 1M", run_v2, cam_o, cam_d, mint, maxt,
+          salt)
+    bench("v2 any camera-morton 1M", run_v2_any, cam_o, cam_d, mint, maxt,
+          salt)
 
     # incoherent rays
     rng = np.random.default_rng(0)

