@@ -148,14 +148,28 @@ def shoot_photons_media(scene, medium, n_photons: int, max_depth: int,
 
 def build_volume_grid(pos, power, din, res: int = 32) -> tuple:
     """Uniform HashGrid over volume photons; returns (grid, radius) with
-    the gather radius matched to the grid cell (27-cell coverage)."""
+    the gather radius matched to the grid cell (27-cell coverage).
+
+    The per-cell scan budget adapts to the observed occupancy (p99):
+    volume photons pack 3-D cells far denser than surface deposits, and
+    the default budget of 64/27 ≈ 2 would subsample dense cells ~10x —
+    unbiased after gather_sum's count/budget rescale, but noisy enough to
+    shift small-image means."""
     if len(pos) == 0:
         return None, 0.0
+    pos = np.asarray(pos)
     radius = float((pos.max(0) - pos.min(0)).max() + 1e-6) / res
+    bmin = pos.min(0) - 1e-6
+    cell = (pos.max(0) + 1e-6 - bmin).max() / res
+    ijk = np.clip(((pos - bmin) / cell).astype(np.int64), 0, res - 1)
+    cid = (ijk[:, 0] * res + ijk[:, 1]) * res + ijk[:, 2]
+    occ = np.bincount(cid)
+    occ = occ[occ > 0]
+    per_cell = int(min(max(np.percentile(occ, 99), 4), 48))
     grid = HashGrid.build(
-        np.asarray(pos), np.concatenate(
+        pos, np.concatenate(
             [np.asarray(power), np.asarray(din)], axis=1
-        ), res=res,
+        ), res=res, max_per_query=27 * per_cell,
     )
     return grid, radius
 
@@ -166,10 +180,19 @@ def beam_radiance_estimate(medium, grid: HashGrid, radius: float,
     """In-scattered radiance along camera rays from the volume photon map
     (reference bre.cpp BeamRadianceEstimator::query).
 
-    Stratified marching: L = Σ_s Δt·Tr(t_s)·σs·Σ_i K3(d_i)·phase·P_i / N.
-    """
+    Stratified marching: L = Σ_s Δt·Tr(t_s)·(σs/σt)·Σ_i K3(d_i)·phase·P_i/N.
+
+    The σs/σt ratio (not σs): volume deposits are stored at EVERY sampled
+    medium event (density ∝ σt·Tr along photon paths, shoot_photons_media)
+    carrying the un-attenuated arriving power, so Σ Φ·K3/N estimates
+    σt·fluence — dividing by σt recovers the fluence and σs turns it into
+    in-scattered radiance (Jensen & Christensen 98 store only scattering
+    events, which cancels their σs instead; a bare σs here is
+    dimensionally wrong and made the beam term ~σt·extent ≈ 100x too
+    small)."""
     n = ray_o.shape[0]
     sigma_t = medium.sigma_t
+    albedo_m = medium.sigma_s / jnp.maximum(medium.sigma_t, 1e-20)
     dt = max_t / n_march
     if u_offset is None:
         u_offset = jnp.full((n,), 0.5)
@@ -189,7 +212,7 @@ def beam_radiance_estimate(medium, grid: HashGrid, radius: float,
         p_s = ray_o + ray_d * t_s[:, None]
         tr = jnp.exp(-sigma_t[None, :] * t_s[:, None])
         dens = grid.gather_sum(p_s, radius, contrib_fn=contrib)
-        return acc + tr * medium.sigma_s[None, :] * dens * inv_kernel \
+        return acc + tr * albedo_m[None, :] * dens * inv_kernel \
             * dt[:, None], None
 
     L, _ = jax.lax.scan(step, jnp.zeros((n, 3)), jnp.arange(n_march))

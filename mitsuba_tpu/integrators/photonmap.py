@@ -16,6 +16,8 @@ vertices are emitted as scan outputs and compacted host-side.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -113,6 +115,16 @@ def photon_estimate(scene, grid: HashGrid, its, radius, n_photons: int):
     return albedo * m.INV_PI * flux / (area * n_photons)
 
 
+@jax.jit
+def _pm_estimate(scene, grid, ray, radius_d, inv_np):
+    from mitsuba_tpu.emitters import eval_emitter_hit
+
+    its = ray_intersect(scene.geom, ray)
+    le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
+    lr = photon_estimate(scene, grid, its, radius_d, 1.0) * inv_np
+    return jnp.where(its.valid[:, None], le + lr, 0.0)
+
+
 def photonmap_render(scene, cfg: PathConfig, n_photons: int = 200_000,
                      radius: float | None = None, seed: int = 0):
     """One-pass photon-map visualization at the first hit (direct photon
@@ -136,16 +148,11 @@ def photonmap_render(scene, cfg: PathConfig, n_photons: int = 200_000,
     uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], -1)
     ray = scene.camera.sample_ray(uv)
 
-    @jax.jit
-    def estimate(scene, grid, ray):
-        its = ray_intersect(scene.geom, ray)
-        from mitsuba_tpu.emitters import eval_emitter_hit
-
-        le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
-        lr = photon_estimate(scene, grid, its, radius, n_photons)
-        return jnp.where(its.valid[:, None], le + lr, 0.0)
-
-    L = estimate(scene, grid, ray)
+    # radius/n_photons ride as device scalars and the jitted program is
+    # module-level: a per-call closure (or closed-over Python floats)
+    # re-traced this large gather graph on EVERY PPM pass
+    L = _pm_estimate(scene, grid, ray, jnp.asarray(radius, jnp.float32),
+                     jnp.asarray(1.0 / n_photons, jnp.float32))
     img = L.reshape(h, w, spp, 3).mean(axis=2)
     return img, {"n_photons": n_photons, "radius": radius,
                  "n_deposits": int(len(pos))}
@@ -268,6 +275,58 @@ def photonmapper_render(scene, cfg: PathConfig, n_photons: int = 150_000,
                  "n_caustic": int(caustic.sum()), "gather": gather_samples}
 
 
+@functools.partial(jax.jit, static_argnames=("w", "h"))
+def _sppm_pass(scene, grid, R, N, tau, direct, pass_seed, alpha_d, inv_np,
+               w, h):
+    """One SPPM pass (module-level jit: per-call closures would re-trace
+    the gather graph every pass)."""
+    from mitsuba_tpu.emitters import eval_emitter_hit
+
+    n = w * h
+    pixel_id = jnp.arange(n)
+    px = (pixel_id % w).astype(jnp.float32)
+    py = (pixel_id // w).astype(jnp.float32)
+    sampler = Sampler(pass_seed, pixel_id, jnp.zeros(n, jnp.int32))
+    jitter = sampler.next_2d()
+    uv = jnp.stack([(px + jitter[:, 0]) / w,
+                    (py + jitter[:, 1]) / h], -1)
+    ray = scene.camera.sample_ray(uv)
+    its = ray_intersect(scene.geom, ray)
+    mclip = jnp.clip(its.material_id, 0, scene.materials.n_materials - 1)
+    albedo = scene.materials.reflectance[mclip]
+    sh_n = its.sh_n
+
+    def contrib(rows, d2):
+        power = rows[:, 0:3]
+        din = rows[:, 3:6]
+        n_ph = rows[:, 6:9]
+        # arriving on the shading side AND deposited on a surface
+        # facing the same way: the spherical gather would otherwise
+        # count photons on adjacent perpendicular walls (proximity
+        # bias — photonmap.h's normal check)
+        side = ((jnp.sum(sh_n * -din, axis=-1) > 0)
+                & (jnp.sum(sh_n * n_ph, axis=-1) > 0.5)).astype(
+                    jnp.float32)
+        return jnp.concatenate(
+            [power * side[:, None], side[:, None]], axis=1)
+
+    g4 = grid.gather_sum(its.p, R, contrib_fn=contrib)
+    flux, M = g4[:, 0:3], g4[:, 3]
+    M = jnp.where(its.valid, M, 0.0)
+    N_new = N + alpha_d * M
+    ratio = jnp.where(M > 0, N_new / jnp.maximum(N + M, 1e-9), 1.0)
+    R_new = R * jnp.sqrt(ratio)
+    phi = albedo * m.INV_PI * flux * inv_np
+    tau_new = (tau + jnp.where(its.valid[:, None], phi, 0.0)) \
+        * ratio[:, None]
+
+    # emitted radiance only (photons carry direct+indirect)
+    le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d,
+                          its.geo_n)
+    d_new = direct + jnp.where(its.valid[:, None], le, 0.0)
+    return R_new, N, tau_new, d_new, N_new
+
+
 def sppm_render(scene, cfg: PathConfig, n_photons_per_pass: int = 100_000,
                 n_passes: int = 8, alpha: float = 0.7,
                 initial_radius: float | None = None, seed: int = 0):
@@ -282,11 +341,11 @@ def sppm_render(scene, cfg: PathConfig, n_photons_per_pass: int = 100_000,
 
     Camera hit points are re-jittered every pass (the S in SPPM), so
     distributed effects (anti-aliasing, DoF) converge too. The final
-    estimate is tau / (pi R^2 * passes) + averaged direct light (Le +
-    one-sample NEE per pass)."""
-    from mitsuba_tpu.bsdfs import bsdf_eval
-    from mitsuba_tpu.emitters import eval_emitter_hit, sample_direct
-    from mitsuba_tpu.render.intersect import ray_test
+    estimate is tau / (pi R^2 * passes) + averaged emitted Le — photons
+    carry BOTH direct and indirect illumination (they deposit on first
+    contact), so no separate NEE term is added (it would double count;
+    same convention as photonmap_render's visualization mode)."""
+    from mitsuba_tpu.emitters import eval_emitter_hit
 
     w, h = scene.width, scene.height
     n = w * h
@@ -299,7 +358,7 @@ def sppm_render(scene, cfg: PathConfig, n_photons_per_pass: int = 100_000,
                                   cfg.max_depth, seed)
     extent = float(np.linalg.norm(pos0.max(0) - pos0.min(0))) \
         if len(pos0) else 1.0
-    r0 = initial_radius if initial_radius is not None else 0.02 * extent
+    r0 = initial_radius if initial_radius is not None else 0.01 * extent
     # hash-grid cell must cover the largest (= initial) radius
     grid_res = max(4, min(48, int(extent / max(r0, 1e-6))))
 
@@ -308,61 +367,15 @@ def sppm_render(scene, cfg: PathConfig, n_photons_per_pass: int = 100_000,
     tau = jnp.zeros((n, 3))
     direct = jnp.zeros((n, 3))
 
-    @jax.jit
-    def sppm_pass(scene, grid, R, N, tau, direct, pass_seed):
-        sampler = Sampler(pass_seed, pixel_id, jnp.zeros(n, jnp.int32))
-        jitter = sampler.next_2d()
-        uv = jnp.stack([(px + jitter[:, 0]) / w,
-                        (py + jitter[:, 1]) / h], -1)
-        ray = scene.camera.sample_ray(uv)
-        its = ray_intersect(scene.geom, ray)
-        mclip = jnp.clip(its.material_id, 0, scene.materials.n_materials - 1)
-        albedo = scene.materials.reflectance[mclip]
-        sh_n = its.sh_n
-
-        def contrib(rows, d2):
-            power = rows[:, 0:3]
-            din = rows[:, 3:6]
-            side = (jnp.sum(sh_n * -din, axis=-1) > 0).astype(jnp.float32)
-            return jnp.concatenate(
-                [power * side[:, None], side[:, None]], axis=1)
-
-        g4 = grid.gather_sum(its.p, R, contrib_fn=contrib)
-        flux, M = g4[:, 0:3], g4[:, 3]
-        M = jnp.where(its.valid, M, 0.0)
-        N_new = N + alpha * M
-        ratio = jnp.where(M > 0, N_new / jnp.maximum(N + M, 1e-9), 1.0)
-        R_new = R * jnp.sqrt(ratio)
-        phi = albedo * m.INV_PI * flux / n_photons_per_pass
-        tau_new = (tau + jnp.where(its.valid[:, None], phi, 0.0)) \
-            * ratio[:, None]
-
-        # direct light: Le + one-sample NEE
-        le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d,
-                              its.geo_n)
-        u1 = sampler.next_1d()
-        u2 = sampler.next_2d()
-        ds = sample_direct(scene.emitters, scene.geom, its.p, u1, u2)
-        wo_local = its.to_local(ds.d)
-        fcos = bsdf_eval(scene.materials, its.material_id, its.wi,
-                         wo_local, albedo=albedo, uv=its.uv)
-        eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(its.p).max(-1))
-        shadow = Ray.make(its.p, ds.d, mint=eps,
-                          maxt=ds.dist * (1.0 - 1e-3))
-        occ = ray_test(scene.geom, shadow)
-        ok = its.valid & ds.valid & (ds.pdf > 0) & ~occ
-        nee = jnp.where(ok[:, None],
-                        fcos * ds.value
-                        / jnp.maximum(ds.pdf, 1e-20)[:, None], 0.0)
-        d_new = direct + jnp.where(its.valid[:, None], le + nee, 0.0)
-        return R_new, N, tau_new, d_new, N_new
-
     for i in range(n_passes):
         pos, power, din, nrm = shoot_photons(
             scene, n_photons_per_pass, cfg.max_depth, seed * 131 + 7 * i + 1)
         grid = build_photon_grid(pos, power, din, nrm, res=grid_res)
-        R, _, tau, direct, N = sppm_pass(
-            scene, grid, R, N, tau, direct, seed * 977 + i)
+        R, _, tau, direct, N = _sppm_pass(
+            scene, grid, R, N, tau, direct,
+            jnp.asarray(seed * 977 + i, jnp.uint32),
+            jnp.asarray(alpha, jnp.float32),
+            jnp.asarray(1.0 / n_photons_per_pass, jnp.float32), w, h)
 
     L = tau / (jnp.pi * jnp.maximum(R, 1e-9)[:, None] ** 2 * n_passes) \
         + direct / n_passes
@@ -372,4 +385,5 @@ def sppm_render(scene, cfg: PathConfig, n_photons_per_pass: int = 100_000,
         "mean_radius": float(jnp.mean(R)),
         "min_radius": float(jnp.min(R)),
         "mean_N": float(jnp.mean(N)),
+        "radius_map": np.asarray(R).reshape(h, w),
     }

@@ -29,33 +29,85 @@ from mitsuba_tpu.render.sampler import Sampler
 
 
 def _sample_emission(scene, u_sel, u_pos, u_dir):
-    """Sample photon origins on area emitters ∝ record power.
+    """Sample photon origins/directions ∝ record power over ALL finite
+    emitters: triangle area lights, analytic sphere lights, point and spot
+    lights (reference Luminaire::sampleEmission, luminaire.h).
 
-    Returns (p, n, d, beta) with beta = Le·cosθ/(p_pos·p_dir) so that
-    E[Σ beta·(...)] estimates emitted power transport."""
+    Returns (p, n, d, beta, valid) with beta = Le·cosθ/(p_pos·p_dir)
+    (surface lights) or I(d)/p_dir (delta positions), already divided by
+    the record pmf, so E[Σ beta·(...)] estimates emitted power transport.
+    Env/directional emission (needs a scene bounding-disk sampler) is not
+    yet supported — such records return valid=False."""
+    from mitsuba_tpu.emitters.table import POINT, SPHERE, SPOT
+
     em = scene.emitters
     geom = scene.geom
     rec = jnp.clip(
         jnp.searchsorted(em.rec_cdf, u_sel, side="right"), 0, em.rec_pmf.shape[0] - 1
     ).astype(jnp.int32)
     pmf = em.rec_pmf[rec]
-    ti = jnp.clip(rec, 0, geom.v0.shape[0] - 1)
+    eid = em.rec_emitter[rec]
+    le = em.radiance[eid]
     is_tri = rec < em.n_tri_records
+
+    # --- surface emitters (triangle | analytic sphere): uniform-area
+    # position + cosine hemisphere direction about the surface normal
+    ti = jnp.clip(rec, 0, geom.v0.shape[0] - 1)
     bary = warp.square_to_uniform_triangle(u_pos)
-    p = geom.v0[ti] + geom.e1[ti] * bary[:, :1] + geom.e2[ti] * bary[:, 1:2]
-    n = m.normalize(jnp.cross(geom.e1[ti], geom.e2[ti]))
-    area = 0.5 * m.length(jnp.cross(geom.e1[ti], geom.e2[ti]))
-    # cosine-weighted hemisphere about the emitter normal
+    p_tri = geom.v0[ti] + geom.e1[ti] * bary[:, :1] + geom.e2[ti] * bary[:, 1:2]
+    n_tri = m.normalize(jnp.cross(geom.e1[ti], geom.e2[ti]))
+    area_tri = 0.5 * m.length(jnp.cross(geom.e1[ti], geom.e2[ti]))
+
+    kind = em.kind[eid]
+    is_sph = (~is_tri) & (kind == SPHERE)
+    n_sph = warp.square_to_uniform_sphere(u_pos)
+    sph_r = em.radius[eid] if em.radius is not None else jnp.zeros_like(pmf)
+    p_sph = em.position[eid] + sph_r[:, None] * n_sph
+    area_sph = 4.0 * jnp.pi * sph_r * sph_r
+
+    is_surf = is_tri | is_sph
+    p = jnp.where(is_tri[:, None], p_tri, p_sph)
+    n = jnp.where(is_tri[:, None], n_tri, n_sph)
+    area = jnp.where(is_tri, area_tri, area_sph)
     d_local = warp.square_to_cosine_hemisphere(u_dir)
     frame = m.Frame.from_normal(n)
     d = frame.to_world(d_local)
     pdf_pos = pmf / jnp.maximum(area, 1e-12)
     pdf_dir = warp.square_to_cosine_hemisphere_pdf(d_local)
-    eid = em.rec_emitter[rec]
-    le = em.radiance[eid]
     cos_t = jnp.maximum(m.cos_theta(d_local), 0.0)
     beta = le * (cos_t / jnp.maximum(pdf_pos * pdf_dir, 1e-20))[:, None]
-    valid = is_tri & (pmf > 0)
+    valid = is_surf & (pmf > 0)
+
+    # --- point lights: uniform-sphere direction, Φ = 4π·I
+    is_pt = (~is_tri) & (kind == POINT)
+    if POINT in em.kinds_present:
+        d_pt = warp.square_to_uniform_sphere(u_dir)
+        beta_pt = le * (4.0 * jnp.pi) / jnp.maximum(pmf, 1e-20)[:, None]
+        p = jnp.where(is_pt[:, None], em.position[eid], p)
+        n = jnp.where(is_pt[:, None], d_pt, n)
+        d = jnp.where(is_pt[:, None], d_pt, d)
+        beta = jnp.where(is_pt[:, None], beta_pt, beta)
+        valid = valid | (is_pt & (pmf > 0))
+
+    # --- spot lights: uniform cone within the cutoff, linear falloff
+    # (same falloff convention as sample_direct, table.py SPOT branch)
+    is_spot = (~is_tri) & (kind == SPOT)
+    if SPOT in em.kinds_present:
+        cc = em.cutoff_cos[eid]
+        fc = em.falloff_cos[eid]
+        d_cone = warp.square_to_uniform_cone(cc, u_dir)
+        ax_frame = m.Frame.from_normal(em.direction[eid])
+        d_sp = ax_frame.to_world(d_cone)
+        pdf_cone = warp.square_to_uniform_cone_pdf(cc)
+        fall = jnp.clip((m.cos_theta(d_cone) - cc)
+                        / jnp.maximum(fc - cc, 1e-6), 0.0, 1.0)
+        beta_sp = le * (fall / jnp.maximum(pmf * pdf_cone, 1e-20))[:, None]
+        p = jnp.where(is_spot[:, None], em.position[eid], p)
+        n = jnp.where(is_spot[:, None], d_sp, n)
+        d = jnp.where(is_spot[:, None], d_sp, d)
+        beta = jnp.where(is_spot[:, None], beta_sp, beta)
+        valid = valid | (is_spot & (pmf > 0))
+
     return p, n, d, jnp.where(valid[:, None], beta, 0.0), valid
 
 

@@ -73,8 +73,14 @@ def test_bre_vs_volpath():
     img_v, _ = render_volpath(
         scene, med, PathConfig(max_depth=5, spp=48, remat=False), seed=5
     )
-    a = float(jnp.mean(img_b))
-    b = float(jnp.mean(img_v))
+    # compare image INTERIORS: photon density estimates darken at box
+    # edges/corners (gather discs clipped by adjacent walls — the same
+    # artifact as the reference's kNN estimate near geometry boundaries;
+    # the old full-image gate only passed because the hash-grid border
+    # double-counting bug inflated wall pixels ~2x, see core/kdtree.py)
+    inner = (slice(4, 12), slice(4, 12))
+    a = float(jnp.mean(img_b[inner]))
+    b = float(jnp.mean(img_v[inner]))
     assert np.isfinite(np.asarray(img_b)).all()
     assert a > 0
     assert abs(a - b) / b < 0.4, (a, b)

@@ -50,20 +50,37 @@ def _caustic_scene():
     return b.build(backend="brute")
 
 
-def test_sppm_beats_ppm_on_caustic():
-    """At equal photon budget the per-pixel radii adapt to the caustic's
-    local density: SPPM's error against a long SPPM reference must not
-    exceed global-schedule PPM's (reference motivation, sppm.cpp)."""
+def test_sppm_caustic_adaptive_and_convergent():
+    """The per-pixel statistics must do what SPPM promises (sppm.cpp /
+    Hachisuka & Jensen 2009): radii shrink WHERE photons arrive (the
+    caustic under the glass sphere shrinks harder than the background),
+    the error against a long run decreases with passes, and the estimate
+    agrees with global-schedule PPM on the image mean. (A fixed-pass
+    "SPPM beats PPM" noise comparison is NOT asserted: at small pass
+    counts SPPM's aggressively shrunk caustic radii are noisier — its
+    advantage is asymptotic.)"""
     scene = _caustic_scene()
     cfg = PathConfig(max_depth=6, spp=1)
-    ref, _ = sppm_render(scene, cfg, n_photons_per_pass=50_000,
-                         n_passes=20, seed=9)
+    ref, aux_ref = sppm_render(scene, cfg, n_photons_per_pass=50_000,
+                               n_passes=20, seed=9)
     ref = np.asarray(ref)
-    s_img, _ = sppm_render(scene, cfg, n_photons_per_pass=50_000,
-                           n_passes=5, seed=2)
+    s5, _ = sppm_render(scene, cfg, n_photons_per_pass=50_000,
+                        n_passes=5, seed=2)
+    s12, _ = sppm_render(scene, cfg, n_photons_per_pass=50_000,
+                         n_passes=12, seed=2)
+    err5 = float(((np.asarray(s5) - ref) ** 2).mean())
+    err12 = float(((np.asarray(s12) - ref) ** 2).mean())
+    assert np.isfinite(err5) and np.isfinite(err12)
+    assert err12 < 0.7 * err5, (err12, err5)       # converging
     p_img, _ = ppm_render(scene, PathConfig(max_depth=6, spp=1),
                           n_photons_per_pass=50_000, n_passes=5, seed=2)
-    mse_s = float(((np.asarray(s_img) - ref) ** 2).mean())
-    mse_p = float(((np.asarray(p_img) - ref) ** 2).mean())
-    assert np.isfinite(mse_s) and np.isfinite(mse_p)
-    assert mse_s <= mse_p * 1.1, (mse_s, mse_p)
+    pm = float(np.asarray(p_img).mean())
+    sm = float(np.asarray(s12).mean())
+    assert abs(sm - pm) / pm < 0.25, (sm, pm)      # same estimand
+    # adaptivity: radii shrink hardest where the photons concentrate —
+    # the caustic spot = the brightest region of the reference render
+    rmap = aux_ref["radius_map"]
+    lum = ref.mean(-1)
+    bright = lum >= np.quantile(lum, 0.9)
+    assert rmap[bright].mean() < 0.9 * rmap[~bright].mean(), (
+        float(rmap[bright].mean()), float(rmap[~bright].mean()))
