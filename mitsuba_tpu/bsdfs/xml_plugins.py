@@ -210,7 +210,11 @@ def build_texture(tb, tex_node, base_dir="."):
             line_width=float(p.get("lineWidth", 0.01)),
             uv_scale=uv_scale, uv_offset=uv_offset,
         )
-    if t in ("ldrtexture", "exrtexture", "bitmap"):
+    if t in ("ldrtexture", "exrtexture", "bitmap", "diffusiontexture"):
+        # diffusiontexture (fork addition, src/textures/diffusiontexture.cpp):
+        # linear (non-gamma) EXR bitmap with filterType/wrapMode props —
+        # behaves as exrtexture here; EWA filtering is the renderer-wide
+        # PathConfig.aniso_filter switch rather than per-texture
         from mitsuba_tpu.io.bitmap import read_image
 
         img = read_image(os.path.join(base_dir, p["filename"]))

@@ -127,6 +127,11 @@ def main(argv=None):
                 scene, cfg.get("medium", no_medium()), pcfg, seed=args.seed,
                 mis=cfg["integrator"] != "volpath_simple",
             )
+        elif "time_scenes" in cfg:
+            from mitsuba_tpu.integrators.path import render_motion
+
+            img, aux = render_motion(cfg["time_scenes"], pcfg,
+                                     seed=args.seed)
         else:
             img, aux = render(scene, pcfg, seed=args.seed)
         img = np.asarray(img)

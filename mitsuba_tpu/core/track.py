@@ -113,3 +113,126 @@ class AnimatedTransform:
         m = m.at[..., :3, 3].set(trans)
         m = m.at[..., 3, 3].set(1.0)
         return m
+
+
+# ---------------------------------------------------------------------------
+# Reference binary track files (animatedinstance's 'filename' prop)
+# ---------------------------------------------------------------------------
+
+# track-type enum, reference include/mitsuba/render/track.h:32
+_T_TX, _T_TY, _T_TZ, _T_TXYZ = 1, 2, 3, 4
+_T_SX, _T_SY, _T_SZ, _T_SXYZ = 5, 6, 7, 8
+_T_RX, _T_RY, _T_RZ, _T_RQUAT = 9, 10, 11, 12
+_WIDTH = {_T_TX: 1, _T_TY: 1, _T_TZ: 1, _T_TXYZ: 3,
+          _T_SX: 1, _T_SY: 1, _T_SZ: 1, _T_SXYZ: 3,
+          _T_RX: 1, _T_RY: 1, _T_RZ: 1, _T_RQUAT: 4}
+
+
+def load_animated_transform(path) -> "AnimatedTransform":
+    """Read the reference's serialized AnimatedTransform (little-endian
+    single precision; format: uint32 nTracks, then per track uint32 type,
+    uint32 nKeyframes, float32 times[n], values — float / vec3 /
+    quat(x,y,z,w) by type; track.cpp:5-36 + track.h:77).  Used by
+    `<shape type="animatedinstance">`'s 'filename' property
+    (animatedinstance.cpp:28-37).  Per-channel tracks are composed as
+    T·R·S at the union of keyframe times (track.cpp:56-99 eval) and
+    re-keyed into this module's matrix-keyframe AnimatedTransform.
+    Euler rotation tracks are rejected exactly like the reference's
+    eval() (track.cpp:91-93 default case)."""
+    raw = np.fromfile(path, np.uint8)
+    off = 0
+
+    def u32():
+        nonlocal off
+        v = int(np.frombuffer(raw[off:off + 4], "<u4")[0])
+        off += 4
+        return v
+
+    def f32(n):
+        nonlocal off
+        v = np.frombuffer(raw[off:off + 4 * n], "<f4").astype(np.float64)
+        off += 4 * n
+        return v
+
+    n_tracks = u32()
+    tracks = []
+    for _ in range(n_tracks):
+        ty = u32()
+        if ty in (_T_RX, _T_RY, _T_RZ):
+            raise ValueError(
+                "Euler rotation tracks are unsupported (matches the "
+                "reference AnimatedTransform::eval)")
+        if ty not in _WIDTH:
+            raise ValueError(f"unknown animation track type {ty}")
+        nk = u32()
+        times = f32(nk)
+        vals = f32(nk * _WIDTH[ty]).reshape(nk, _WIDTH[ty])
+        tracks.append((ty, times, vals))
+
+    key_times = sorted({float(t) for _, ts, _ in tracks for t in ts}) or [0.0]
+
+    def _eval_track(times, vals, t):
+        if len(times) == 1:
+            return vals[0]
+        i1 = int(np.clip(np.searchsorted(times, t, side="right"), 1,
+                         len(times) - 1))
+        i0 = i1 - 1
+        f = np.clip((t - times[i0]) / max(times[i1] - times[i0], 1e-12),
+                    0.0, 1.0)
+        return vals[i0] * (1 - f) + vals[i1] * f
+
+    at = AnimatedTransform()
+    for t in key_times:
+        trans = np.zeros(3)
+        scale = np.ones(3)
+        quat = np.array([0.0, 0.0, 0.0, 1.0])   # (x, y, z, w)
+        for ty, ts, vs in tracks:
+            v = _eval_track(ts, vs, t)
+            if ty == _T_TX:
+                trans[0] = v[0]
+            elif ty == _T_TY:
+                trans[1] = v[0]
+            elif ty == _T_TZ:
+                trans[2] = v[0]
+            elif ty == _T_TXYZ:
+                trans = v
+            elif ty == _T_SX:
+                scale[0] = v[0]
+            elif ty == _T_SY:
+                scale[1] = v[0]
+            elif ty == _T_SZ:
+                scale[2] = v[0]
+            elif ty == _T_SXYZ:
+                scale = v
+            elif ty == _T_RQUAT:
+                quat = v / max(np.linalg.norm(v), 1e-12)
+        x, y, z, w = quat
+        rot = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        m = np.eye(4)
+        m[:3, :3] = rot * scale[None, :]
+        m[:3, 3] = trans
+        at.append_transform(t, m)
+    return at
+
+
+def save_animated_transform(path, at: "AnimatedTransform"):
+    """Write an AnimatedTransform in the reference binary format (one
+    TXYZ + one RQuat + one SXYZ track over the matrix keyframes)."""
+    n = at.n_keys
+    times = np.asarray(at._times, np.float32)
+    out = [np.asarray([3], np.uint32).tobytes()]
+    # quats stored here as (w, x, y, z); file format wants (x, y, z, w)
+    q = np.asarray(at._quats, np.float32)
+    q_file = np.concatenate([q[:, 1:4], q[:, 0:1]], axis=1)
+    for ty, vals in ((_T_TXYZ, np.asarray(at._trans, np.float32)),
+                     (_T_RQUAT, q_file),
+                     (_T_SXYZ, np.asarray(at._scales, np.float32))):
+        out.append(np.asarray([ty, n], np.uint32).tobytes())
+        out.append(times.tobytes())
+        out.append(vals.astype("<f4").tobytes())
+    with open(path, "wb") as f:
+        f.write(b"".join(out))

@@ -304,6 +304,12 @@ def build_scene(parsed, base_dir: str, backend: str = "auto"):
                              _material_from_bsdf)
 
     scene = builder.build(backend=backend)
+    # motion blur: animated shapes + an open shutter render via
+    # render_motion over time-binned scenes (cli.py)
+    if builder._animated and builder.camera is not None \
+            and float(builder.camera.shutter_time) > 0.0:
+        config["time_scenes"] = builder.build_time_scenes(
+            int(config.get("time_bins", 4)), backend=backend)
     return scene, config
 
 

@@ -120,7 +120,8 @@ def load_shape_mesh(shape_node, base_dir):
     return mesh
 
 
-def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
+def add_shape(builder, shape_node, base_dir, mat_cache, material_fn,
+              track=None):
     t = shape_node["type"]
     if t == "shapegroup":
         # reference src/shapes/group.cpp: a named collection only
@@ -131,13 +132,24 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
         # kd-tree instancing. TPU re-design: flatten — append a transformed
         # copy of the group geometry (HBM-resident SoA replication; nested
         # traversal would break the wavefront's uniform gather loop).
-        # animatedinstance uses the transform at shutter-open time.
+        # animatedinstance: its binary track file (animatedinstance.cpp:
+        # 28-37) registers the flattened meshes as animated shapes; motion
+        # blur renders per-time-bin scenes (render_motion), plain renders
+        # bake shutter-open.
         group = None
         for c in shape_node["children"]:
             if c["category"] == "shape" and c["type"] == "shapegroup":
                 group = c
         if group is None:
             raise ValueError("<instance> needs a <ref> to a shapegroup")
+        track = None
+        if t == "animatedinstance" and "filename" in shape_node["props"]:
+            import os as _os
+
+            from mitsuba_tpu.core.track import load_animated_transform
+
+            track = load_animated_transform(
+                _os.path.join(base_dir, shape_node["props"]["filename"]))
         to_world = shape_node["props"].get("toWorld")
         for sub in group["children"]:
             if sub["category"] != "shape":
@@ -152,7 +164,8 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
                 )
                 props["toWorld"] = comp
                 sub_copy["props"] = props
-            add_shape(builder, sub_copy, base_dir, mat_cache, material_fn)
+            add_shape(builder, sub_copy, base_dir, mat_cache, material_fn,
+                      track=track)
         return
     # analytic primitives (reference sphere.cpp/cylinder.cpp intersect
     # exactly): spheres and cylinders skip tessellation unless inverted
@@ -251,14 +264,23 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
             "__black__", builder.materials.lambertian((0.0, 0.0, 0.0))
         )
     ssn = _find(shape_node, "subsurface")
+    if ssn is not None and ssn["type"] == "marschner":
+        # reference-fork marschner.cpp is an unfinished stub whose Lo()
+        # always returns black (marschner.cpp:62-88) — parity is accepting
+        # the plugin and contributing nothing
+        from mitsuba_tpu.utils.logging import get_logger
+        get_logger().warn(
+            "subsurface type 'marschner' matches the reference stub: "
+            "zero contribution")
+        ssn = None
     if ssn is not None:
         # reference <subsurface type="dipole"> (dipole.cpp props): sigmaS/
         # sigmaA or sigmaT+albedo, eta or intIOR/extIOR, g, ssFactor.
-        if ssn["type"] not in ("dipole", ""):
+        # multipole/adipole (multipole.cpp / adipole.cpp) share the prop
+        # set plus thickness/poles or anisoDirection/anisoRatio.
+        if ssn["type"] not in ("dipole", "multipole", "adipole", ""):
             raise ValueError(
-                f"unsupported subsurface type '{ssn['type']}' "
-                "(dipole only; multipole/adipole profiles are available "
-                "programmatically via subsurface/dipole.py)")
+                f"unsupported subsurface type '{ssn['type']}'")
         sp = ssn["props"]
 
         def _sp3(name, default):
@@ -284,7 +306,12 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
         builder.add_subsurface(
             mid, ss_c, sa_c, g=float(sp.get("g", 0.0)), eta=eta,
             ss_factor=_sp3("ssFactor", 1.0),
-            n_points=int(sp.get("irrSamples", 512)))
+            n_points=int(sp.get("irrSamples", 512)),
+            profile=ssn["type"] or "dipole",
+            thickness=float(sp.get("thickness", 1.0)),
+            n_poles=int(sp.get("extraDipoles", 3)),
+            aniso_dir=_sp3("anisoDirection", (1.0, 0.0, 0.0)),
+            aniso_ratio=float(sp.get("anisoRatio", 2.0)))
     if analytic is not None and analytic[0] == "sphere":
         _, center, radius = analytic
         if lum is not None:
@@ -308,7 +335,12 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn):
             raise ValueError("only area luminaires can be attached to shapes")
         radiance = _spec(lum["props"], "intensity", 1.0)
         eid = builder.emitters.area(mesh, radiance)
-        builder.add_shape(mesh, mid, eid, interior_medium=interior)
+        if track is not None:
+            builder.add_animated_shape(mesh, mid, track, emitter_id=eid)
+        else:
+            builder.add_shape(mesh, mid, eid, interior_medium=interior)
+    elif track is not None:
+        builder.add_animated_shape(mesh, mid, track)
     else:
         builder.add_shape(mesh, mid, interior_medium=interior)
 

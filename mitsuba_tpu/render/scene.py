@@ -64,6 +64,7 @@ class SceneBuilder:
         self._shape_interior = []   # per shape: medium index or -1
         self._media = []            # (sigma_s, sigma_a, g)
         self._subsurface = []       # dicts: material_id, sigma_s, ...
+        self._animated = []         # (mesh, material_id, emitter_id, track)
         self.camera = None
         self.width = 256
         self.height = 256
@@ -87,15 +88,24 @@ class SceneBuilder:
 
     def add_subsurface(self, material_id: int, sigma_s, sigma_a,
                        g: float = 0.0, eta: float = 1.33,
-                       ss_factor=(1.0, 1.0, 1.0), n_points: int = 512):
-        """Attach a dipole subsurface to every shape using material_id
+                       ss_factor=(1.0, 1.0, 1.0), n_points: int = 512,
+                       profile: str = "dipole", thickness: float = 1.0,
+                       n_poles: int = 3, aniso_dir=(1.0, 0.0, 0.0),
+                       aniso_ratio: float = 2.0):
+        """Attach a subsurface entry to every shape using material_id
         (reference <subsurface type="dipole">, dipole.cpp:362-468). The
         irradiance point cloud is sampled at build time; irradiance values
-        are computed at render start (integrators/path.py render)."""
+        are computed at render start (integrators/path.py render).
+        profile: 'dipole' | 'multipole' (thin slab, thickness + n_poles;
+        multipole.cpp) | 'adipole' (anisotropic metric, aniso_dir/ratio;
+        adipole.cpp)."""
         self._subsurface.append(dict(
             material_id=int(material_id), sigma_s=tuple(sigma_s),
             sigma_a=tuple(sigma_a), g=float(g), eta=float(eta),
-            ss_factor=tuple(ss_factor), n_points=int(n_points)))
+            ss_factor=tuple(ss_factor), n_points=int(n_points),
+            profile=str(profile), thickness=float(thickness),
+            n_poles=int(n_poles), aniso_dir=tuple(aniso_dir),
+            aniso_ratio=float(aniso_ratio)))
 
     def add_shape(self, mesh, material_id, emitter_id=-1,
                   interior_medium: int = -1):
@@ -139,24 +149,71 @@ class SceneBuilder:
         eid = self.emitters.area(mesh, radiance)
         return self.add_shape(mesh, material_id, eid)
 
+    def add_animated_shape(self, mesh, material_id, track,
+                           emitter_id: int = -1):
+        """Shape with an animated to-world transform (reference
+        animatedinstance.cpp + track.h AnimatedTransform). mesh is in
+        OBJECT space; build() bakes the track at the camera's
+        shutter-open time, build_time_scenes() bakes one scene per
+        stratified shutter time bin for motion blur (render_motion)."""
+        self._animated.append((mesh, int(material_id), int(emitter_id),
+                               track))
+
+    def build_time_scenes(self, n_bins: int, backend: str = "auto"):
+        """Scenes baked at n_bins stratified times across the camera
+        shutter — the TPU-native motion-blur decomposition: one compiled
+        render program (scenes are pytree args with identical structure)
+        runs per bin; averaging the bins integrates the shutter
+        (reference: per-ray time + AnimatedTransform::eval at
+        intersection time; a wavefront over device-resident static
+        tables re-binned per time step keeps the intersection kernels
+        branch-free instead)."""
+        so = float(self.camera.shutter_open) if self.camera else 0.0
+        st = float(self.camera.shutter_time) if self.camera else 0.0
+        times = [so + (k + 0.5) / n_bins * st for k in range(n_bins)]
+        return [self.build(backend=backend, time=t) for t in times]
+
     def set_camera(self, camera: Camera, width: int, height: int):
         self.camera = camera
         self.width, self.height = width, height
 
-    def build(self, backend: str = "auto") -> Scene:
-        """Assemble the scene.
+    def build(self, backend: str = "auto", time: float | None = None) -> Scene:
+        """Assemble the scene. time: bake animated shapes at this track
+        time (default: the camera's shutter-open).
 
         Built on the host CPU backend: over a tunneled TPU every tiny
         jnp op/transfer is a network round trip (~0.7s each); building
         locally and shipping the finished pytree in one device_put turns
         minutes into milliseconds."""
         with _host_build_context():
-            scene = self._build_impl(backend)
+            scene = self._build_impl(backend, time)
         if jax.default_backend() != "cpu":
             scene = jax.device_put(scene, jax.devices()[0])
         return scene
 
-    def _build_impl(self, backend: str) -> Scene:
+    def _build_impl(self, backend: str, time: float | None = None) -> Scene:
+        shapes_saved = None
+        if self._animated:
+            import numpy as _np
+
+            if time is None:
+                time = float(self.camera.shutter_open) if self.camera \
+                    else 0.0
+            shapes_saved = list(self._shapes)
+            interior_saved = list(self._shape_interior)
+            n_saved = self._n_shapes
+            for mesh, mid, eid, track in self._animated:
+                m4 = _np.asarray(track.eval(jnp.asarray(time)))
+                self.add_shape(mesh.transformed(m4), mid, emitter_id=eid)
+        try:
+            return self._build_shapes(backend)
+        finally:
+            if shapes_saved is not None:
+                self._shapes = shapes_saved
+                self._shape_interior = interior_saved
+                self._n_shapes = n_saved
+
+    def _build_shapes(self, backend: str) -> Scene:
         if not self._shapes and not (self._analytic["spheres"]
                                      or self._analytic["cylinders"]):
             raise ValueError("scene has no shapes")

@@ -233,15 +233,23 @@ def adipole_rd(p: DipoleParams, r_vec, aniso_dir, aniso_ratio: float = 2.0):
 
 @pytree_dataclass
 class SceneSubsurface:
-    """All subsurface entries of a scene, stacked: S entries x K points."""
+    """All subsurface entries of a scene, stacked: S entries x K points.
+
+    Profiles are unified as pole sums (dipole = 1 pole pair, multipole =
+    2·n_poles+1 pairs with mirrored depths; reference multipole.cpp) over
+    an anisotropically stretched distance metric (adipole.cpp capability;
+    ratio 1 = isotropic). Unused pole slots sit at _PAD_DEPTH where their
+    contribution underflows to zero."""
     sigma_tr: jnp.ndarray     # (S, 3)
-    zr: jnp.ndarray           # (S, 3)
-    zv: jnp.ndarray           # (S, 3)
+    zri: jnp.ndarray          # (S, P, 3) real-source depths per pole
+    zvi: jnp.ndarray          # (S, P, 3) virtual-source depths (signed)
     alpha_p: jnp.ndarray      # (S, 3)
     eta: jnp.ndarray          # (S,)
     fdr: jnp.ndarray          # (S,)
     fdt: jnp.ndarray          # (S,)
     ss_factor: jnp.ndarray    # (S, 3)
+    aniso_dir: jnp.ndarray    # (S, 3) slow-diffusion direction (adipole)
+    aniso_ratio: jnp.ndarray  # (S,) metric stretch along aniso_dir (1=iso)
     points: jnp.ndarray       # (S, K, 3)
     normals: jnp.ndarray      # (S, K, 3)
     area: jnp.ndarray         # (S,) area per point
@@ -253,6 +261,26 @@ class SceneSubsurface:
         return self.points.shape[0]
 
 
+_PAD_DEPTH = 1e6   # pole padding depth; exp(-sigma_tr * 1e6) == 0
+
+
+def _entry_poles(p: DipoleParams, profile: str, thickness: float,
+                 n_poles: int):
+    """Per-entry (zri, zvi) pole-pair lists (numpy, shape (P, 3))."""
+    import numpy as _np
+
+    zr = _np.asarray(p.zr)
+    zv = _np.asarray(p.zv)
+    if profile == "multipole":
+        d_slab = thickness + zv - zr
+        pairs = [(2.0 * i * d_slab + zr, 2.0 * i * d_slab - zv)
+                 for i in range(-n_poles, n_poles + 1)]
+    else:   # dipole / adipole: single pair, zvi = -zv (see multipole_rd)
+        pairs = [(zr, -zv)]
+    return (_np.stack([a for a, _ in pairs]),
+            _np.stack([b for _, b in pairs]))
+
+
 def build_scene_subsurface(entries, n_materials: int,
                            geom, n_points: int = 512):
     """Host-side build. entries: list of dicts with keys material_id,
@@ -261,8 +289,9 @@ def build_scene_subsurface(entries, n_materials: int,
     import numpy as _np
 
     mat_ss = _np.full(n_materials, -1, _np.int32)
-    rows = dict(sigma_tr=[], zr=[], zv=[], alpha_p=[], eta=[], fdr=[],
-                fdt=[], ss_factor=[])
+    rows = dict(sigma_tr=[], alpha_p=[], eta=[], fdr=[],
+                fdt=[], ss_factor=[], aniso_dir=[], aniso_ratio=[])
+    zri_all, zvi_all = [], []
     pts_all, nrm_all, area_all = [], [], []
     v0 = _np.asarray(geom.v0)
     e1 = _np.asarray(geom.e1)
@@ -272,9 +301,23 @@ def build_scene_subsurface(entries, n_materials: int,
         mat_ss[e["material_id"]] = si
         p = make_dipole(e["sigma_s"], e["sigma_a"], g=e.get("g", 0.0),
                         eta=e.get("eta", 1.33))
+        profile = e.get("profile", "dipole")
+        zri, zvi = _entry_poles(p, profile,
+                                float(e.get("thickness", 1.0)),
+                                int(e.get("n_poles", 3)))
+        zri_all.append(zri)
+        zvi_all.append(zvi)
+        if profile == "adipole":
+            ad = _np.asarray(e.get("aniso_dir", (1.0, 0.0, 0.0)),
+                             _np.float32)
+            ad = ad / max(float(_np.linalg.norm(ad)), 1e-12)
+            rows["aniso_dir"].append(jnp.asarray(ad))
+            rows["aniso_ratio"].append(
+                jnp.asarray(float(e.get("aniso_ratio", 2.0))))
+        else:
+            rows["aniso_dir"].append(jnp.asarray([1.0, 0.0, 0.0]))
+            rows["aniso_ratio"].append(jnp.asarray(1.0))
         rows["sigma_tr"].append(p.sigma_tr)
-        rows["zr"].append(p.zr)
-        rows["zv"].append(p.zv)
         rows["alpha_p"].append(p.alpha_p)
         rows["eta"].append(p.eta)
         rows["fdr"].append(p.fdr)
@@ -301,8 +344,16 @@ def build_scene_subsurface(entries, n_materials: int,
         pts_all.append(pts)
         nrm_all.append(nrm)
         area_all.append(total / n_points)
+    # pad pole arrays to a common P (padded poles at _PAD_DEPTH -> zero)
+    p_max = max(z.shape[0] for z in zri_all)
+    zri_all = [_np.concatenate(
+        [z, _np.full((p_max - z.shape[0], 3), _PAD_DEPTH)]) for z in zri_all]
+    zvi_all = [_np.concatenate(
+        [z, _np.full((p_max - z.shape[0], 3), _PAD_DEPTH)]) for z in zvi_all]
     return SceneSubsurface(
         **{k: jnp.stack(v) for k, v in rows.items()},
+        zri=jnp.asarray(_np.stack(zri_all), jnp.float32),
+        zvi=jnp.asarray(_np.stack(zvi_all), jnp.float32),
         points=jnp.asarray(_np.stack(pts_all), jnp.float32),
         normals=jnp.asarray(_np.stack(nrm_all), jnp.float32),
         area=jnp.asarray(_np.asarray(area_all), jnp.float32),
@@ -328,11 +379,19 @@ def scene_ss_lo(ss: SceneSubsurface, s: int, x, wo_cos, chunk: int = 256):
     """Outgoing dipole radiance of entry `s` at hit points x (N,3).
 
     Reference dipole.cpp Lo: Mo = sum_i Rd(|x-p_i|) E_i A_i Fdt;
-    Lo = Mo * ssFactor / pi * (eta==1 ? 1 : Ft(cos_o)/Fdr)."""
-    row = DipoleParams(
-        sigma_s=None, sigma_a=None, g=None, eta=ss.eta[s],
-        sigma_tr=ss.sigma_tr[s], zr=ss.zr[s], zv=ss.zv[s],
-        alpha_p=ss.alpha_p[s], fdr=ss.fdr[s], fdt=ss.fdt[s])
+    Lo = Mo * ssFactor / pi * (eta==1 ? 1 : Ft(cos_o)/Fdr).
+    Rd is the generic pole sum over the entry's (zri, zvi) pairs in the
+    anisotropically stretched metric — dipole (1 pair, ratio 1),
+    multipole (2·n_poles+1 pairs; multipole.cpp) and adipole (stretched
+    metric; adipole.cpp) all evaluate through this one path."""
+    sigma_tr = ss.sigma_tr[s]
+    alpha_p = ss.alpha_p[s]
+    zri = ss.zri[s]                      # (P, 3)
+    zvi = ss.zvi[s]
+    eta = ss.eta[s]
+    fdr = ss.fdr[s]
+    adir = ss.aniso_dir[s]
+    aratio = ss.aniso_ratio[s]
     K = ss.points.shape[1]
     pad = (-K) % chunk
     pts = jnp.pad(ss.points[s], ((0, pad), (0, 0)))
@@ -340,15 +399,33 @@ def scene_ss_lo(ss: SceneSubsurface, s: int, x, wo_cos, chunk: int = 256):
     pts_c = pts.reshape(-1, chunk, 3)
     irr_c = irr.reshape(-1, chunk, 3)
 
+    def rd_poles(r):
+        """Pole-sum Rd; r: (...,) stretched distances -> (..., 3)."""
+        r = jnp.maximum(r, 1e-4)[..., None]
+        total = jnp.zeros(r.shape[:-1] + (3,))
+        for pi in range(zri.shape[0]):
+            dr = jnp.sqrt(r * r + zri[pi] ** 2)
+            dv = jnp.sqrt(r * r + zvi[pi] ** 2)
+            c1 = zri[pi] * (sigma_tr + 1.0 / dr)
+            c2 = zvi[pi] * (sigma_tr + 1.0 / dv)
+            total = total + (alpha_p / (4.0 * jnp.pi)) * (
+                c1 * jnp.exp(-sigma_tr * dr) / (dr * dr)
+                - c2 * jnp.exp(-sigma_tr * dv) / (dv * dv))
+        return jnp.maximum(total, 0.0)
+
     def step(acc, ci):
         cp, ce = ci
-        d2 = jnp.sum((x[:, None, :] - cp[None, :, :]) ** 2, axis=-1)
-        rd = dipole_rd(row, jnp.sqrt(d2))
+        rv = x[:, None, :] - cp[None, :, :]
+        along = jnp.sum(rv * adir, axis=-1)
+        r_eff = jnp.sqrt(jnp.maximum(
+            jnp.sum(rv * rv, axis=-1)
+            + (1.0 / (aratio * aratio) - 1.0) * along * along, 0.0))
+        rd = rd_poles(r_eff)
         return acc + jnp.sum(rd * ce[None, :, :], axis=1), None
 
     mo, _ = jax.lax.scan(step, jnp.zeros((x.shape[0], 3)), (pts_c, irr_c))
     mo = mo * ss.area[s] * ss.fdt[s]
-    ft = 1.0 - fresnel(wo_cos, jnp.ones_like(row.eta), row.eta)
-    bdy = jnp.where(jnp.abs(row.eta - 1.0) < 1e-4, 1.0,
-                    ft / jnp.maximum(row.fdr, 1e-4))
+    ft = 1.0 - fresnel(wo_cos, jnp.ones_like(eta), eta)
+    bdy = jnp.where(jnp.abs(eta - 1.0) < 1e-4, 1.0,
+                    ft / jnp.maximum(fdr, 1e-4))
     return mo * ss.ss_factor[s] * m.INV_PI * bdy[..., None]

@@ -121,3 +121,68 @@ def test_xml_subsurface_scene():
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img.mean() > 0.02, img.mean()
+
+
+def test_multipole_thick_slab_converges_to_dipole():
+    """Scene-level multipole (pole-sum path): for a very thick slab the
+    extra mirror poles vanish and the render must match the dipole render;
+    for a thin slab it must lose energy (light leaks out the back —
+    reference multipole.cpp motivation)."""
+    def scene_with(profile, thickness=1e4):
+        b = SceneBuilder()
+        mat = b.materials.lambertian((0.0, 0.0, 0.0))
+        quad = mesh_mod.make_quad((-20, -20, 0), (20, -20, 0), (20, 20, 0),
+                                  (-20, 20, 0))
+        b.add_shape(quad, mat)
+        b.add_subsurface(mat, sigma_s=(2.0,) * 3, sigma_a=(0.05,) * 3,
+                         eta=1.0, n_points=2048, profile=profile,
+                         thickness=thickness)
+        b.emitters.directional((0, 0, -1), (1.0, 1.0, 1.0))
+        cam = make_perspective(
+            tf.look_at((0, 0, 8.0), (0, 0, 0), (0, 1, 0)), 40.0, 1.0)
+        b.set_camera(cam, 16, 16)
+        return b.build()
+
+    cfg = PathConfig(max_depth=2, spp=4)
+    i_d, _ = render(scene_with("dipole"), cfg, seed=1)
+    i_thick, _ = render(scene_with("multipole", 1e4), cfg, seed=1)
+    i_thin, _ = render(scene_with("multipole", 0.3), cfg, seed=1)
+    d = float(np.asarray(i_d)[6:10, 6:10].mean())
+    thick = float(np.asarray(i_thick)[6:10, 6:10].mean())
+    thin = float(np.asarray(i_thin)[6:10, 6:10].mean())
+    assert abs(thick - d) / d < 0.02, (thick, d)
+    assert thin < 0.8 * d, (thin, d)
+
+
+def test_adipole_elongates_along_direction():
+    """Scene-level adipole: a point-ish irradiance spot diffuses farther
+    along the anisotropy direction than across it (fork adipole.cpp
+    capability)."""
+    from mitsuba_tpu.core.types import replace as _replace
+
+    b = SceneBuilder()
+    mat = b.materials.lambertian((0.0, 0.0, 0.0))
+    quad = mesh_mod.make_quad((-20, -20, 0), (20, -20, 0), (20, 20, 0),
+                              (-20, 20, 0))
+    b.add_shape(quad, mat)
+    b.add_subsurface(mat, sigma_s=(2.0,) * 3, sigma_a=(0.2,) * 3,
+                     eta=1.0, n_points=4096, profile="adipole",
+                     aniso_dir=(1.0, 0.0, 0.0), aniso_ratio=3.0)
+    b.emitters.directional((0, 0, -1), (1.0, 1.0, 1.0))
+    cam = make_perspective(
+        tf.look_at((0, 0, 8.0), (0, 0, 0), (0, 1, 0)), 40.0, 1.0)
+    b.set_camera(cam, 33, 33)
+    scene = b.build()
+
+    # synthetic irradiance: one bright spot at the origin
+    ss = scene.subsurface
+    d2 = jnp.sum(ss.points[0] ** 2, axis=-1)
+    spot = jnp.where(d2[:, None] < 0.5, 10.0, 0.0) * jnp.ones((1, 3))
+    scene = _replace(scene, subsurface=_replace(ss, irradiance=spot[None]))
+    img, _ = render(scene, PathConfig(max_depth=2, spp=4), seed=2)
+    img = np.asarray(img)
+    c = 16
+    # radiance 6 pixels out along x (aniso dir) vs along y
+    along = 0.5 * (img[c, c + 6].mean() + img[c, c - 6].mean())
+    across = 0.5 * (img[c + 6, c].mean() + img[c - 6, c].mean())
+    assert along > 1.5 * across, (along, across)
