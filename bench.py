@@ -1,8 +1,12 @@
-"""Headline benchmark: Cornell-box depth-5 path tracing throughput.
+"""Benchmark suite: BASELINE.json configs 1-3 on the current JAX device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is Mrays/s on the current default JAX device (the real TPU chip under the
-driver) and vs_baseline is value / 50 (BASELINE.json: >=50 Mrays/s/chip).
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "suite": [per-config rows]}
+value = config-1 (Cornell brute) Mrays/s; vs_baseline = value / 50
+(BASELINE.json north star: >=50 Mrays/s/chip). The suite array carries
+config-2 (specular Cornell 512x512) and config-3 (~70k-tri textured mesh
++ envmap, work-list cluster backend) so large-scene regressions are
+captured every round, not just the toy-scene headline.
 
 Methodology notes:
   * rays counted = closest-hit + shadow rays actually traced (same
@@ -28,22 +32,26 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/mts_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
+def bench_scene(scene, spp: int, depth: int, rounds: int = 2,
+                morton: bool = False):
+    """Dependency-chained wavefront path-trace benchmark on `scene`.
+    Returns Mrays/s (rays = closest + shadow, kdbench accounting)."""
     from mitsuba_tpu.integrators import PathConfig
-    from mitsuba_tpu.integrators.path import path_trace
+    from mitsuba_tpu.integrators.path import path_trace, pixel_morton_perm
     from mitsuba_tpu.render.sampler import Sampler
-    from mitsuba_tpu.render.scene import cornell_box
 
-    w = h = 256
-    spp = 16
-    depth = 5
-    rounds = 2
+    w, h = scene.width, scene.height
     cfg = PathConfig(max_depth=depth, spp=spp, remat=False)
-    scene = cornell_box(w, h, backend="brute")
-
     n = w * h * spp
-    pixel_id = jnp.arange(n) // spp
-    sample_id = (jnp.arange(n) % spp).astype(jnp.int32)
+    lane = jnp.arange(n)
+    if morton:
+        import numpy as np
+
+        perm = pixel_morton_perm(w, h)
+        pixel_id = jnp.asarray(perm, jnp.int32)[lane // spp]
+    else:
+        pixel_id = lane // spp
+    sample_id = (lane % spp).astype(jnp.int32)
 
     @jax.jit
     def run(scene, pixel_id, sample_id, chain):
@@ -51,12 +59,14 @@ def main():
         py = (pixel_id // w).astype(jnp.float32)
         sampler = Sampler(0, pixel_id + chain.astype(jnp.int32), sample_id)
         offset = sampler.next_2d()
-        uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], -1)
+        uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h],
+                       -1)
         ray = scene.camera.sample_ray(uv)
         L, aux = path_trace(scene, ray, sampler, cfg)
         img_sum = L.sum(axis=0)
         # chain value: data-dependent, forces sequential execution
-        return img_sum, aux["rays_traced"], (img_sum[0] * 0.0).astype(jnp.float32)
+        return img_sum, aux["rays_traced"], \
+            (img_sum[0] * 0.0).astype(jnp.float32)
 
     chain = jnp.zeros((), jnp.float32)
     img_sum, rays, chain = run(scene, pixel_id, sample_id, chain)
@@ -71,19 +81,40 @@ def main():
         img_sum, rays, chain = run(scene, pixel_id, sample_id, chain)
         _ = float(img_sum[0])
         best = min(best, time.perf_counter() - t0)
-    elapsed = best
+    return rays_traced / best / 1e6
 
-    mrays = rays_traced / elapsed / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_box_depth5_path_tracing",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 50.0, 4),
-            }
-        )
+
+def main():
+    from mitsuba_tpu.render.scene import (
+        cornell_box, cornell_box_specular, textured_mesh_scene,
     )
+
+    suite = []
+
+    s1 = cornell_box(256, 256, backend="brute")
+    m1 = bench_scene(s1, spp=16, depth=5)
+    suite.append({"config": "1_cornell_brute_256", "value": round(m1, 3),
+                  "unit": "Mrays/s", "vs_baseline": round(m1 / 50.0, 4)})
+
+    # specular box tessellates its glass sphere (~4k tris): too big for
+    # the brute kernel's SMEM triangle table -> cluster backend
+    s2 = cornell_box_specular(512, 512, backend="auto")
+    m2 = bench_scene(s2, spp=4, depth=5, morton=True)
+    suite.append({"config": "2_specular_cornell_512", "value": round(m2, 3),
+                  "unit": "Mrays/s", "vs_baseline": round(m2 / 50.0, 4)})
+
+    s3 = textured_mesh_scene(512, 512, backend="cluster")
+    m3 = bench_scene(s3, spp=4, depth=5, morton=True)
+    suite.append({"config": "3_textured_mesh_cluster", "value": round(m3, 3),
+                  "unit": "Mrays/s", "vs_baseline": round(m3 / 50.0, 4)})
+
+    print(json.dumps({
+        "metric": "cornell_box_depth5_path_tracing",
+        "value": suite[0]["value"],
+        "unit": "Mrays/s",
+        "vs_baseline": suite[0]["vs_baseline"],
+        "suite": suite,
+    }))
     return 0
 
 

@@ -82,6 +82,20 @@ class Frame:
         s, t = coordinate_system(n)
         return Frame(s, t, n)
 
+    @staticmethod
+    def from_normal_tangent(n, tangent):
+        """Frame whose s axis follows the (projected) tangent — used with
+        the true parametric dp_du so anisotropic BSDFs and footprint
+        mapping are uv-aligned (reference Intersection::computeShadingFrame
+        analog). Falls back to from_normal where the tangent degenerates."""
+        s = tangent - n * jnp.sum(n * tangent, axis=-1, keepdims=True)
+        l2 = jnp.sum(s * s, axis=-1, keepdims=True)
+        ok = l2 > 1e-18
+        s_fb, _ = coordinate_system(n)
+        s = jnp.where(ok, s / jnp.sqrt(jnp.where(ok, l2, 1.0)), s_fb)
+        t = jnp.cross(n, s)
+        return Frame(s, t, n)
+
     def to_local(self, v):
         return jnp.stack([dot(v, self.s), dot(v, self.t), dot(v, self.n)], axis=-1)
 

@@ -56,6 +56,9 @@ class PathConfig:
                                 # coherence for large scenes)
     mip_filter: bool = False    # ray-cone texture lod (needs
                                 # SceneBuilder(build_mips=True) pyramids)
+    aniso_filter: bool = False  # EWA anisotropic filtering in the render
+                                # path (implies mip_filter; reference
+                                # mipmap.h:110 EWA)
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -70,9 +73,13 @@ def _detach(x):
 
 
 def _morton_keys(o, d, bmin, bmax):
-    """Sort key: 3x10-bit Morton code of the origin within the scene bbox,
-    with the direction octant in the low bits — keeps packet tiles spatially
-    and directionally coherent."""
+    """Sort key: direction OCTANT in the top bits, then a 3x10-bit Morton
+    code of the origin within the scene bbox. Octant-major matters for
+    the work-list cull: rows whose lanes share direction signs have
+    finite conservative 1/d intervals — a row mixing signs spans zero and
+    its slab intervals degenerate to (-inf, inf), overflowing every beam
+    (octant-in-low-bits measured 120 items/row vs 46 octant-major on
+    diffuse bounce rays, scripts/exp_bounce_rays.py)."""
     q = jnp.clip((o - bmin) / jnp.maximum(bmax - bmin, 1e-6) * 1023.0, 0, 1023)
     q = q.astype(jnp.int32)
 
@@ -89,7 +96,30 @@ def _morton_keys(o, d, bmin, bmax):
         + 2 * (d[:, 1] > 0).astype(jnp.int32)
         + 4 * (d[:, 2] > 0).astype(jnp.int32)
     )
-    return (morton << 3) | octant
+    return (octant << 30) | morton
+
+
+def pixel_morton_perm(w: int, h: int) -> "np.ndarray":
+    """Host-side static permutation: wavefront slot i -> pixel index in
+    Morton (Z-curve) order. A 128-lane ray row then covers a compact
+    pixel tile instead of a 128x1 scanline strip — the work-list cluster
+    cull's per-row frusta shrink ~3x (scanline rows touched 13.9
+    clusters/row on the bunny, Morton tiles 4.5)."""
+    import numpy as np
+
+    ix = np.arange(w * h, dtype=np.uint64) % np.uint64(w)
+    iy = np.arange(w * h, dtype=np.uint64) // np.uint64(w)
+
+    def spread(x):
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    code = spread(ix) | (spread(iy) << np.uint64(1))
+    return np.argsort(code, kind="stable")
 
 
 def _sorted_intersect(scene, ray):
@@ -116,6 +146,55 @@ def _sorted_test(scene, ray):
     return ray_test(scene.geom, ray_s)[inv]
 
 
+def _cone_duv_aniso(geom, its, d, width):
+    """Anisotropic uv footprint of the ray cone at the hit (Akenine-Möller
+    ray cones → the reference's RayDifferential::computeUVPartials,
+    shape.cpp). The cone's disc (diameter `width`, ⊥ d) lands on the
+    surface as an ellipse: major axis along d's tangent-plane projection
+    stretched by 1/cosθ, minor axis perpendicular. World-space axes map to
+    uv through the triangle chart with a 2×2 Gram solve on (e1, e2);
+    analytic primitives fall back to an isotropic footprint via |dp_du|."""
+    n = its.sh_n
+    ndotd = jnp.sum(n * d, axis=-1)
+    cos_v = jnp.abs(ndotd)
+    d_proj = d - ndotd[:, None] * n
+    lp2 = jnp.sum(d_proj * d_proj, axis=-1, keepdims=True)
+    fr = its.frame()
+    t_major = jnp.where(lp2 > 1e-12,
+                        d_proj / jnp.sqrt(jnp.maximum(lp2, 1e-24)), fr.s)
+    t_minor = jnp.cross(n, t_major)
+    stretch = (width / jnp.maximum(cos_v, 0.05))[:, None]
+    a_major = t_major * stretch
+    a_minor = t_minor * width[:, None]
+
+    prim_ok = (its.prim_id >= 0) & (its.prim_id < geom.n_tris)
+    prim = jnp.clip(its.prim_id, 0, geom.n_tris - 1)
+    e1, e2 = geom.e1[prim], geom.e2[prim]
+    duv1 = geom.uv1[prim] - geom.uv0[prim]
+    duv2 = geom.uv2[prim] - geom.uv0[prim]
+    c11 = jnp.sum(e1 * e1, axis=-1)
+    c12 = jnp.sum(e1 * e2, axis=-1)
+    c22 = jnp.sum(e2 * e2, axis=-1)
+    det = c11 * c22 - c12 * c12
+    ok = prim_ok & (jnp.abs(det) > 1e-20)
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+    def to_uv(a):
+        a1 = jnp.sum(a * e1, axis=-1)
+        a2 = jnp.sum(a * e2, axis=-1)
+        b1 = (c22 * a1 - c12 * a2) * inv_det
+        b2 = (c11 * a2 - c12 * a1) * inv_det
+        return b1[:, None] * duv1 + b2[:, None] * duv2
+
+    # isotropic fallback (analytic prims / degenerate charts)
+    dens = jnp.maximum(m.length(its.dp_du), 1e-6)
+    f = (width / (dens * jnp.maximum(cos_v, 0.1)))[:, None]
+    iso_x = jnp.concatenate([f, jnp.zeros_like(f)], axis=-1)
+    duv_dx = jnp.where(ok[:, None], to_uv(a_major), iso_x)
+    duv_dy = jnp.where(ok[:, None], to_uv(a_minor), iso_x[:, ::-1])
+    return duv_dx, duv_dy
+
+
 def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
     """Trace radiance along the given camera rays. Returns (L, aux dict).
 
@@ -125,6 +204,15 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
     control flow (last-bounce cutoff, RR activation) is turned into scanned
     boolean inputs.
     """
+    if cfg.aniso_filter and not cfg.mip_filter:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, mip_filter=True)
+    if scene.geom.backend == "cluster" and not cfg.sort_rays:
+        # the work-list cull needs direction/position-coherent 128-lane
+        # rows: bounce rays MUST be re-sorted per bounce (octant-major
+        # Morton) or nearly every row overflows the cull beams
+        import dataclasses
+        cfg = dataclasses.replace(cfg, sort_rays=True)
     n = ray.o.shape[0]
     d_max = cfg.max_depth
 
@@ -228,7 +316,15 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         albedo = scene.materials.reflectance[mclip]
         if scene.textures.n_textures > 0:
             from mitsuba_tpu.render.texture import eval_texture
-            if cfg.mip_filter and len(scene.textures.mips) > 0:
+            if cfg.aniso_filter and len(scene.textures.mips) > 0:
+                # ray-cone footprint -> anisotropic (EWA) uv derivatives
+                width = cone_alpha * path_len
+                duv_dx, duv_dy = _cone_duv_aniso(scene.geom, its, ray.d,
+                                                 width)
+                tex_val = eval_texture(scene.textures, tex_id, its.uv,
+                                       duv_dx=duv_dx, duv_dy=duv_dy,
+                                       aniso=True)
+            elif cfg.mip_filter and len(scene.textures.mips) > 0:
                 # ray-cone footprint -> isotropic uv derivative
                 width = cone_alpha * path_len
                 dens = jnp.maximum(m.length(its.dp_du), 1e-6)
@@ -311,6 +407,28 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
     }
 
 
+def render_motion(scenes, cfg: PathConfig, seed: int = 0):
+    """Motion-blurred render: average renders over time-binned scenes
+    (SceneBuilder.build_time_scenes). All bins share the same traced
+    bounce-scan executable — scenes are pytree arguments with identical
+    structure, so the compilation cache reuses one program across bins
+    (the TPU re-design of the reference's per-ray time + per-node
+    AnimatedTransform::eval, animatedinstance.cpp:63 — data-dependent
+    transforms inside the traversal would break the static wavefront).
+    Each bin gets a distinct seed; the average integrates the shutter
+    by stratified time sampling."""
+    import numpy as np
+
+    acc = None
+    aux_last = None
+    for k, scene in enumerate(scenes):
+        img, aux_last = render(scene, cfg, seed=seed * 1031 + k)
+        acc = img if acc is None else acc + img
+    aux_last = dict(aux_last or {})
+    aux_last["time_bins"] = len(scenes)
+    return acc / len(scenes), aux_last
+
+
 def render(scene, cfg: PathConfig, seed: int = 0):
     """Render the scene to an (H, W, 3) image with the configured
     reconstruction filter. Wavefront layout: lane = pixel * spp + sample."""
@@ -327,7 +445,20 @@ def render(scene, cfg: PathConfig, seed: int = 0):
     w, h, spp = scene.width, scene.height, cfg.spp
     n = w * h * spp
     lane = jnp.arange(n)
-    pixel_id = lane // spp
+    # Morton pixel order for the work-list cluster backend: compact
+    # 128-lane pixel tiles keep cull frusta tight (see pixel_morton_perm).
+    # The permutation is a trace-time constant; film development
+    # un-permutes the radiance back to scanline order.
+    morton = scene.geom.backend == "cluster"
+    if morton:
+        import numpy as np
+
+        perm_px = pixel_morton_perm(w, h)
+        pixel_id = jnp.asarray(perm_px, jnp.int32)[lane // spp]
+        lane_tgt = perm_px[np.arange(n) // spp] * spp + np.arange(n) % spp
+        inv_lane = jnp.asarray(np.argsort(lane_tgt), jnp.int32)
+    else:
+        pixel_id = lane // spp
     sample_id = (lane % spp).astype(jnp.int32)
     px = (pixel_id % w).astype(jnp.float32)
     py = (pixel_id // w).astype(jnp.float32)
@@ -338,5 +469,8 @@ def render(scene, cfg: PathConfig, seed: int = 0):
     uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], axis=-1)
     ray = scene.camera.sample_ray(uv)
     L, aux = path_trace(scene, ray, sampler, cfg)
+    if morton:
+        L = L[inv_lane]
+        offset = offset[inv_lane]
     img = develop(L, offset, spp, h, w, make_rfilter(cfg.rfilter))
     return img, aux

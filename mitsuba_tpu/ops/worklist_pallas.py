@@ -94,7 +94,9 @@ def _interval_slab(bmin, bmax, olo, ohi, ilo, ihi, spans, mt_hi):
     """Conservative slab test of per-row ray intervals vs boxes.
 
     bmin/bmax: (n_rows, B, 3). Returns (hit, t_near) of shape
-    (n_rows, B)."""
+    (n_rows, B).  (A per-axis (n_rows, B)-planes variant measured 8x
+    SLOWER end to end: splitting the box gathers per axis triples the
+    gather count, which dominates the whole build.)"""
     a_lo = bmin - ohi[:, None]
     a_hi = bmin - olo[:, None]
     b_lo = bmax - ohi[:, None]
@@ -110,18 +112,36 @@ def _interval_slab(bmin, bmax, olo, ohi, ilo, ihi, spans, mt_hi):
     return t_near <= t_far, t_near
 
 
+def _beam_stage(bmin_g, bmax_g, ids, ok_in, beam, row_ctx):
+    """One beam-search level: slab-test the candidate boxes, sort the
+    (narrow) per-row candidate axis by entry distance, keep the `beam`
+    nearest. Returns (kept ids (n_rows, beam), kept ok, kept t_near,
+    count of true hits). Sort width = candidate count ≤ 128, so the
+    sort_key_val stays cheap (the old single-level lax.top_k over all
+    388 superclusters was 28 of the 31 ms build)."""
+    olo, ohi, ilo, ihi, spans, mt_hi = row_ctx
+    hit, tn = _interval_slab(bmin_g, bmax_g, olo, ohi, ilo, ihi, spans,
+                             mt_hi)
+    hit = hit & ok_in
+    key = jnp.where(hit, tn, _BIG)
+    key_s, ids_s = jax.lax.sort_key_val(key, ids)
+    count = jnp.sum(hit, axis=-1).astype(jnp.int32)
+    return (ids_s[:, :beam], key_s[:, :beam] < _BIG, key_s[:, :beam],
+            count)
+
+
 @functools.partial(jax.jit, static_argnames=("w_cap", "l_sc"))
 def build_worklist(rays, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
-                   w_cap: int, l_sc: int = 24):
-    """Build the flat (row, cluster) work list, two-level.
+                   w_cap: int, l_sc: int = 16):
+    """Build the flat (row, cluster) work list by hierarchical beam cull.
 
-    Level A culls per-row ray intervals against supercluster (8-cluster)
-    AABBs and keeps the l_sc nearest (full (n_rows, C) sorts measured
-    27-33 ms/1M rays — the coarse level caps the exact-sort width at
-    8*l_sc). Level B refines the surviving superclusters' clusters and
-    orders them front-to-back. Rows touching more than l_sc superclusters
-    OVERFLOW: their result is a lower bound only, the caller must fall
-    back (intersect.py routes them through the XLA BVH walk).
+    Three levels, all with NARROW per-row sorts (width ≤ 8·l_sc):
+      S2 (8-supercluster groups, ~C/64 boxes) → top 8 by entry distance
+      → their 64 superclusters → top l_sc
+      → their 8·l_sc clusters → front-to-back item list.
+    Rows whose true candidate count exceeds a beam at any level OVERFLOW:
+    their result is a lower bound only, the caller must fall back
+    (intersect.py routes them through the XLA BVH walk).
 
     rays: (n_rows, 8, 128) packed planes from _pack_rays.
     Returns (items (W,) i32 packed, total (,) i32, overflow (n_rows,) bool).
@@ -131,32 +151,53 @@ def build_worklist(rays, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
     C = cl_bmin.shape[0]
     n_rows = rays.shape[0]
     c_s = sc_bmin.shape[0]
-    l_sc = min(l_sc, c_s)
-    olo, ohi, ilo, ihi, spans, mt_hi = _row_intervals(rays)
+    row_ctx = _row_intervals(rays)
 
-    hit_a, tn_a = _interval_slab(
-        jnp.broadcast_to(sc_bmin[None], (n_rows, c_s, 3)),
-        jnp.broadcast_to(sc_bmax[None], (n_rows, c_s, 3)),
-        olo, ohi, ilo, ihi, spans, mt_hi)
-    key_a = jnp.where(hit_a, tn_a, _BIG)
-    neg_top, sc_ids = jax.lax.top_k(-key_a, l_sc)     # ascending t_near
-    sc_ok = -neg_top < _BIG
-    overflow = jnp.sum(hit_a, axis=-1) > l_sc
+    # S2 level: groups of 8 consecutive superclusters (BVH order keeps
+    # them spatially tight); boxes built in-jit from the SC boxes
+    c_s2 = -(-c_s // 8)
+    beam_s2 = min(8, c_s2)
+    l_sc = min(l_sc, beam_s2 * 8, c_s)
+    pad = c_s2 * 8 - c_s
+    s2_bmin = jnp.pad(sc_bmin, ((0, pad), (0, 0)),
+                      constant_values=_BIG).reshape(c_s2, 8, 3).min(axis=1)
+    s2_bmax = jnp.pad(sc_bmax, ((0, pad), (0, 0)),
+                      constant_values=-_BIG).reshape(c_s2, 8, 3).max(axis=1)
+    s2_ids = jnp.broadcast_to(jnp.arange(c_s2, dtype=jnp.int32)[None],
+                              (n_rows, c_s2))
+    ids2, ok2, _, cnt2 = _beam_stage(
+        jnp.broadcast_to(s2_bmin[None], (n_rows, c_s2, 3)),
+        jnp.broadcast_to(s2_bmax[None], (n_rows, c_s2, 3)),
+        s2_ids, jnp.ones((n_rows, c_s2), bool), beam_s2, row_ctx)
+    overflow = cnt2 > beam_s2
 
-    # level B: the kept superclusters' 8 clusters each. Gather whole
-    # 8-cluster box blocks by supercluster id (one gather of (8,3) rows
-    # per (row, slot) instead of 8: TPU gathers measured ~8 ns/element)
+    # SC level: the kept S2s' superclusters. ONE combined (C, 6) gather
+    # per stage (gathers dominate the build; splitting bmin/bmax or axes
+    # into separate gathers measured 8x slower)
+    sc_boxes = jnp.concatenate([sc_bmin, sc_bmax], axis=1)   # (c_s, 6)
+    sc_cand = (ids2[:, :, None] * 8
+               + jnp.arange(8, dtype=jnp.int32)[None, None, :]).reshape(
+                   n_rows, beam_s2 * 8)
+    sc_in = jnp.repeat(ok2, 8, axis=1) & (sc_cand < c_s)
+    sc_cand = jnp.minimum(sc_cand, c_s - 1)
+    sc_g = sc_boxes[sc_cand]
+    sc_ids, sc_ok, _, cnt_sc = _beam_stage(
+        sc_g[..., 0:3], sc_g[..., 3:6], sc_cand, sc_in, l_sc, row_ctx)
+    overflow = overflow | (cnt_sc > l_sc)
+
+    # cluster level: the kept superclusters' 8 clusters each, ordered
+    # front-to-back for the kernel's early exit
+    cl_boxes = jnp.concatenate([cl_bmin, cl_bmax], axis=1)   # (C, 6)
     cand = (sc_ids[:, :, None] * 8
             + jnp.arange(8, dtype=jnp.int32)[None, None, :]).reshape(
                 n_rows, l_sc * 8)
-    cand = jnp.clip(cand, 0, C - 1)
-    bmin_blk = cl_bmin.reshape(c_s, 8, 3)[sc_ids].reshape(
-        n_rows, l_sc * 8, 3)
-    bmax_blk = cl_bmax.reshape(c_s, 8, 3)[sc_ids].reshape(
-        n_rows, l_sc * 8, 3)
+    cl_in = jnp.repeat(sc_ok, 8, axis=1) & (cand < C)
+    cand = jnp.minimum(cand, C - 1)
+    cl_g = cl_boxes[cand]
+    olo, ohi, ilo, ihi, spans, mt_hi = row_ctx
     hit_b, tn_b = _interval_slab(
-        bmin_blk, bmax_blk, olo, ohi, ilo, ihi, spans, mt_hi)
-    hit_b = hit_b & jnp.repeat(sc_ok, 8, axis=1)
+        cl_g[..., 0:3], cl_g[..., 3:6], olo, ohi, ilo, ihi, spans, mt_hi)
+    hit_b = hit_b & cl_in
     key_b = jnp.where(hit_b, tn_b, _BIG)
     key_s, order = jax.lax.sort_key_val(key_b, cand)
     counts = jnp.sum(hit_b, axis=-1).astype(jnp.int32)
@@ -210,10 +251,13 @@ def _mt_chunks(tri_ref, rays, mnb, t_cap, k_cl):
     index, sublane = triangle-in-chunk)."""
     ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
-    t_run = jnp.full((8, LANES), _BIG, jnp.float32)
-    k_run = jnp.zeros((8, LANES), jnp.int32)
-    u_run = jnp.zeros((8, LANES), jnp.float32)
-    v_run = jnp.zeros((8, LANES), jnp.float32)
+    # two interleaved accumulator sets: the t_run select chains are the
+    # only cross-chunk dependency (VPU dependent-op latency ~4 cycles vs
+    # ~1/cycle issue), so even/odd chunks retire in parallel
+    t_runs = [jnp.full((8, LANES), _BIG, jnp.float32) for _ in range(2)]
+    k_runs = [jnp.zeros((8, LANES), jnp.int32) for _ in range(2)]
+    u_runs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(2)]
+    v_runs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(2)]
     for j in range(k_cl // 8):
         s = slice(j * 8, j * 8 + 8)
         v0x = tri_ref[0, s, 0:1]
@@ -240,13 +284,18 @@ def _mt_chunks(tri_ref, rays, mnb, t_cap, k_cl):
         u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
         v = (dx * qvx + dy * qvy + dz * qvz) * inv
         t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        g = j & 1
         ok = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t > mnb) & (t < t_cap) & (t < t_run))
-        t_run = jnp.where(ok, t, t_run)
-        k_run = jnp.where(ok, j, k_run)
-        u_run = jnp.where(ok, u, u_run)
-        v_run = jnp.where(ok, v, v_run)
-    return t_run, k_run, u_run, v_run
+              & (t > mnb) & (t < t_cap) & (t < t_runs[g]))
+        t_runs[g] = jnp.where(ok, t, t_runs[g])
+        k_runs[g] = jnp.where(ok, j, k_runs[g])
+        u_runs[g] = jnp.where(ok, u, u_runs[g])
+        v_runs[g] = jnp.where(ok, v, v_runs[g])
+    sel = t_runs[1] < t_runs[0]
+    return (jnp.where(sel, t_runs[1], t_runs[0]),
+            jnp.where(sel, k_runs[1], k_runs[0]),
+            jnp.where(sel, u_runs[1], u_runs[0]),
+            jnp.where(sel, v_runs[1], v_runs[0]))
 
 
 _SUBLANE_IOTA = None
@@ -328,6 +377,38 @@ def _make_closest_kernel(k_cl):
                 out[0, 3:4, :] = jnp.where(improved, prim_new,
                                            out[0, 3:4, :])
     return kernel
+
+
+def _make_probe_kernel(k_cl):
+    """Diagnostic kernel: same DMA/block pattern as closest-hit but no MT
+    math — isolates per-item fixed cost (grid step + cluster DMA + slab)."""
+    def kernel(items_ref, starts_ref, tri_ref, rays, out):
+        w = pl.program_id(0)
+        item = items_ref[w]
+
+        @pl.when((item & _FIRST_BIT) != 0)
+        def _init():
+            out[0, 0:8, :] = jnp.zeros((8, LANES), jnp.float32)
+
+        @pl.when((item & _VALID_BIT) != 0)
+        def _work():
+            mnb = rays[0, 6:7, :]
+            can = _slab_can_improve(tri_ref, rays, rays[0, 7:8, :], mnb)
+            # consume one element of the block so the DMA isn't elided
+            out[0, 0:1, :] = (out[0, 0:1, :] + can.astype(jnp.float32)
+                              + tri_ref[0, 0:1, 0:1])
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w_factor", "l_sc", "interpret"))
+def wl_probe(geom_cl, o, d, mint, maxt, w_factor: int = 16,
+             l_sc: int = 24, interpret: bool = False):
+    """Fixed-cost probe (diagnostic only)."""
+    out, n, overflow = _call(
+        _make_probe_kernel(geom_cl["tri"].shape[1]), jnp.float32,
+        geom_cl, o, d, mint, maxt, w_factor, l_sc, interpret)
+    return out[:, 0, :].reshape(-1)[:n], overflow
 
 
 def _make_any_kernel(k_cl):

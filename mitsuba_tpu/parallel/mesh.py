@@ -45,12 +45,25 @@ def replicate(mesh: Mesh, tree):
 
 
 def _lane_setup(scene, cfg, seed):
+    """Lane -> (pixel, sample) assignment. MUST match integrators.path
+    render()'s layout exactly (including the Morton pixel order used for
+    the work-list cluster backend) so sharded and single-device renders
+    stay bitwise comparable. Returns (n, pixel_id, sample_id, inv_lane)
+    with inv_lane the permutation restoring scanline lane order (None
+    when the layout is already scanline)."""
     w, h, spp = scene.width, scene.height, cfg.spp
     n = w * h * spp
     lane = jnp.arange(n)
-    pixel_id = lane // spp
+    if scene.geom.backend == "cluster":
+        perm_px = path_mod.pixel_morton_perm(w, h)
+        pixel_id = jnp.asarray(perm_px, jnp.int32)[lane // spp]
+        lane_tgt = perm_px[np.arange(n) // spp] * spp + np.arange(n) % spp
+        inv_lane = jnp.asarray(np.argsort(lane_tgt), jnp.int32)
+    else:
+        pixel_id = lane // spp
+        inv_lane = None
     sample_id = (lane % spp).astype(jnp.int32)
-    return n, pixel_id, sample_id
+    return n, pixel_id, sample_id, inv_lane
 
 
 def _trace_lanes(scene, cfg, seed, pixel_id, sample_id):
@@ -76,7 +89,12 @@ def render_sharded(scene, cfg, seed: int = 0, mesh: Mesh | None = None):
     all randomness is counter-based per (pixel, sample).
     """
     mesh = mesh or make_mesh()
-    n, pixel_id, sample_id = _lane_setup(scene, cfg, seed)
+    if scene.geom.backend == "cluster" and not cfg.sort_rays:
+        # mirror integrators.path.render's cfg normalization so the
+        # sharded program matches the single-device one
+        import dataclasses
+        cfg = dataclasses.replace(cfg, sort_rays=True)
+    n, pixel_id, sample_id, inv_lane = _lane_setup(scene, cfg, seed)
     n_dev = mesh.devices.size
     assert n % n_dev == 0, (
         f"lane count {n} (w*h*spp) must be divisible by device count {n_dev}"
@@ -86,12 +104,16 @@ def render_sharded(scene, cfg, seed: int = 0, mesh: Mesh | None = None):
     scene_r = replicate(mesh, scene)
 
     @partial(jax.jit, static_argnums=(1,), out_shardings=None)
-    def run(scene, cfg, pixel_id, sample_id):
+    def run(scene, cfg, pixel_id, sample_id, inv_lane):
         L, aux = _trace_lanes(scene, cfg, seed, pixel_id, sample_id)
+        if inv_lane is not None:
+            # restore scanline lane order (Morton layout; one cross-shard
+            # gather before the film reshape)
+            L = L[inv_lane]
         img = L.reshape(scene.height, scene.width, cfg.spp, 3).mean(axis=2)
         return img, aux
 
-    return run(scene_r, cfg, pixel_id, sample_id)
+    return run(scene_r, cfg, pixel_id, sample_id, inv_lane)
 
 
 def training_step_sharded(scene, cfg, target_img, param_tree, apply_params,
@@ -105,7 +127,7 @@ def training_step_sharded(scene, cfg, target_img, param_tree, apply_params,
     Returns (new_params, loss).
     """
     mesh = mesh or make_mesh()
-    n, pixel_id, sample_id = _lane_setup(scene, cfg, seed)
+    n, pixel_id, sample_id, inv_lane = _lane_setup(scene, cfg, seed)
     assert n % mesh.devices.size == 0
     pixel_id = shard_lanes(mesh, pixel_id)
     sample_id = shard_lanes(mesh, sample_id)
@@ -118,6 +140,8 @@ def training_step_sharded(scene, cfg, target_img, param_tree, apply_params,
         def loss_fn(params):
             sc = apply_params(scene, params)
             L, _ = _trace_lanes(sc, cfg, seed, pixel_id, sample_id)
+            if inv_lane is not None:
+                L = L[inv_lane]
             img = L.reshape(scene.height, scene.width, cfg.spp, 3).mean(axis=2)
             return jnp.mean((img - target) ** 2)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mitsuba_tpu.core import math as m
-from mitsuba_tpu.core.types import pytree_dataclass, static_field
+from mitsuba_tpu.core.types import pytree_dataclass, replace, static_field
 from mitsuba_tpu.render.bvh import BVH, MAX_LEAF, build_bvh
 from mitsuba_tpu.render.records import Intersection, Ray
 
@@ -54,10 +54,11 @@ class GeometryTables:
     # 14-records-per-128-lane-row layouts for the Pallas packet kernel
     bvh_rows: jnp.ndarray = None     # (ceil(M/14), 128)
     tri_rows: jnp.ndarray = None     # (ceil(T/14), 128)
-    # streaming cluster tables (ops/cluster_pallas.py; backend="cluster")
-    cl_G: jnp.ndarray = None         # (C_s, 8*512, 16) Pluecker rows
-    cl_aabb: jnp.ndarray = None      # (C_s, 8, 8) per-cluster boxes
-    cl_start: jnp.ndarray = None     # (C,) first-tri index per cluster
+    # work-list cluster tables (ops/worklist_pallas.py; backend="cluster")
+    mt_tri: jnp.ndarray = None       # (C, K, 16) per-cluster triangle rows
+    mt_start: jnp.ndarray = None     # (C,) first-tri index per cluster
+    mt_bmin: jnp.ndarray = None      # (C, 3) cluster AABBs
+    mt_bmax: jnp.ndarray = None      # (C, 3)
     cl_sc_bmin: jnp.ndarray = None   # (C_s, 3) supercluster bounds
     cl_sc_bmax: jnp.ndarray = None   # (C_s, 3)
     # analytic primitives (reference src/shapes/sphere.cpp:359 analytic
@@ -77,8 +78,9 @@ class GeometryTables:
     backend: str = static_field(default="brute")
 
     @property
-    def cluster_tables(self):
-        return dict(G=self.cl_G, aabb=self.cl_aabb, tri_start=self.cl_start,
+    def wl_tables(self):
+        return dict(tri=self.mt_tri, tri_start=self.mt_start,
+                    bmin=self.mt_bmin, bmax=self.mt_bmax,
                     sc_bmin=self.cl_sc_bmin, sc_bmax=self.cl_sc_bmax)
 
     @property
@@ -165,18 +167,18 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
     tri = v[f]  # (T,3,3)
     cl = {}
     if backend == "cluster":
-        from mitsuba_tpu.render.clusters import (
-            build_cluster_tables, cut_clusters,
-        )
+        from mitsuba_tpu.render.clusters import build_mt_tables, cut_clusters
 
-        ranges = cut_clusters(bvh.first, bvh.count, bvh.skip, f.shape[0])
-        ct = build_cluster_tables(
-            tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0], ranges)
+        ranges = cut_clusters(bvh.first, bvh.count, bvh.skip, f.shape[0],
+                              max_k=32)
+        mt = build_mt_tables(
+            tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0],
+            ranges, k=32)
         cl = dict(
-            cl_G=jnp.asarray(ct.G), cl_aabb=jnp.asarray(ct.aabb),
-            cl_start=jnp.asarray(ct.tri_start),
-            cl_sc_bmin=jnp.asarray(ct.sc_bmin),
-            cl_sc_bmax=jnp.asarray(ct.sc_bmax),
+            mt_tri=jnp.asarray(mt.tri), mt_start=jnp.asarray(mt.tri_start),
+            mt_bmin=jnp.asarray(mt.bmin), mt_bmax=jnp.asarray(mt.bmax),
+            cl_sc_bmin=jnp.asarray(mt.sc_bmin),
+            cl_sc_bmax=jnp.asarray(mt.sc_bmax),
         )
     ana = {}
     if analytic:
@@ -471,10 +473,22 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
             shape_id=jnp.where(valid, r["shape_id"], -1),
         )
     if geom.backend == "cluster" and _use_pallas():
-        from mitsuba_tpu.ops import cluster_pallas as cp
+        from mitsuba_tpu.ops import worklist_pallas as wp
 
-        t, u, v, prim, valid = cp.cluster_closest(
-            geom.cluster_tables, ray.o, ray.d, ray.mint, ray.maxt)
+        t, u, v, prim, valid, ovf = wp.wl_closest(
+            geom.wl_tables, ray.o, ray.d, ray.mint, ray.maxt)
+        # rows that overflowed a cull beam carry a lower bound only:
+        # re-resolve those lanes through the XLA packed-row walk (rays in
+        # non-overflow rows get mint>maxt -> their walk exits immediately)
+        lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
+            ray.mint <= ray.maxt)
+        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
+        tf_, uf, vf, pf, okf = _closest_bvh(geom, fb_ray)
+        t = jnp.where(lane_ovf, tf_, t)
+        u = jnp.where(lane_ovf, uf, u)
+        v = jnp.where(lane_ovf, vf, v)
+        prim = jnp.where(lane_ovf, pf, prim)
+        valid = jnp.where(lane_ovf, okf, valid)
     elif geom.backend == "bvh" and _use_pallas():
         from mitsuba_tpu.ops import bvh_pallas as bp
 
@@ -498,7 +512,20 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
     uv = (
         w[:, None] * geom.uv0[prim] + u[:, None] * geom.uv1[prim] + v[:, None] * geom.uv2[prim]
     )
-    frame = m.Frame.from_normal(sh_n)
+    # true parametric dp_du from the uv parameterization (reference
+    # trimesh.cpp fillIntersectionRecord): solve [e1 e2] = [dp_du dp_dv]
+    # * [duv1 duv2]; falls back to e1 for degenerate uv charts
+    duv1 = geom.uv1[prim] - geom.uv0[prim]
+    duv2 = geom.uv2[prim] - geom.uv0[prim]
+    det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    ok_uv = jnp.abs(det_uv) > 1e-12
+    inv_det = 1.0 / jnp.where(ok_uv, det_uv, 1.0)
+    dp_du = jnp.where(
+        ok_uv[:, None],
+        (duv2[:, 1:2] * geom.e1[prim] - duv1[:, 1:2] * geom.e2[prim])
+        * inv_det[:, None],
+        geom.e1[prim])
+    frame = m.Frame.from_normal_tangent(sh_n, dp_du)
     wi = frame.to_local(-ray.d)
     return Intersection(
         valid=valid,
@@ -507,7 +534,7 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
         geo_n=geo_n,
         sh_n=sh_n,
         uv=uv,
-        dp_du=geom.e1[prim],
+        dp_du=dp_du,
         wi=wi,
         prim_id=jnp.where(valid, prim, -1),
         shape_id=jnp.where(valid, geom.shape_id[prim], -1),
@@ -556,10 +583,14 @@ def _ray_intersect_and_test_tri(geom: GeometryTables, ray: Ray,
 
 def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
     if geom.backend == "cluster" and _use_pallas():
-        from mitsuba_tpu.ops import cluster_pallas as cp
+        from mitsuba_tpu.ops import worklist_pallas as wp
 
-        return cp.cluster_any(
-            geom.cluster_tables, ray.o, ray.d, ray.mint, ray.maxt)
+        occ, ovf = wp.wl_any(
+            geom.wl_tables, ray.o, ray.d, ray.mint, ray.maxt)
+        lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
+            ray.mint <= ray.maxt) & ~occ
+        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
+        return occ | (_any_bvh(geom, fb_ray) & lane_ovf)
     if geom.backend in ("bvh", "cluster"):
         if _use_pallas():
             from mitsuba_tpu.ops import bvh_pallas as bp
@@ -672,7 +703,9 @@ def _merge_analytic(geom: GeometryTables, ray: Ray, its: Intersection):
         dpdu = m.normalize(jnp.stack(
             [-n[:, 1], n[:, 0], jnp.zeros_like(n[:, 0])], -1)
             + 1e-12 * jnp.ones((1, 3)))
-        frame = m.Frame.from_normal(n)
+        # same frame construction as Intersection.frame() (wi/to_world
+        # consistency)
+        frame = m.Frame.from_normal_tangent(n, dpdu)
         wi = frame.to_local(-ray.d)
         best = Intersection(
             valid=best.valid | closer,
@@ -704,7 +737,7 @@ def _merge_analytic(geom: GeometryTables, ray: Ray, its: Intersection):
         phi = jnp.arctan2(lp[:, 1], lp[:, 0])
         uv = jnp.stack([phi * (0.5 / jnp.pi) + 0.5, s_ax / ln], -1)
         dpdu = m.normalize(jnp.cross(u_ax, n))
-        frame = m.Frame.from_normal(n)
+        frame = m.Frame.from_normal_tangent(n, dpdu)
         wi = frame.to_local(-ray.d)
         S = geom.n_spheres
         best = Intersection(

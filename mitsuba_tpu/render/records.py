@@ -53,8 +53,11 @@ class Intersection:
     emitter_id: jnp.ndarray   # (N,) index into scene emitter table, -1 if not emissive
 
     def frame(self) -> m.Frame:
-        """Shading frame from sh_n (+ dp_du when useful)."""
-        return m.Frame.from_normal(self.sh_n)
+        """Shading frame with s following dp_du — MUST match the frame the
+        intersector used to produce wi (to_world(bsdf wo) and wi share it);
+        from_normal_tangent reproduces from_normal when dp_du is already
+        that frame's s axis (the fused-kernel path)."""
+        return m.Frame.from_normal_tangent(self.sh_n, self.dp_du)
 
     def to_world(self, v_local):
         return self.frame().to_world(v_local)

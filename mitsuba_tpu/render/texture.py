@@ -72,13 +72,14 @@ def _bilinear(img, uv, clamp_wrap):
 
 
 def eval_texture(tex: TextureTable, tex_id, uv, vertex_color=None,
-                 duv_dx=None, duv_dy=None):
+                 duv_dx=None, duv_dy=None, aniso: bool = False):
     """Per-lane texture lookup. tex_id: (N,) int (-1 handled by caller).
     vertex_color: optional (N,3) interpolated vertex colors.
     duv_dx/duv_dy: optional (N,2) uv footprint derivatives — when given
     (and the builder created MIP pyramids) bitmap lookups are trilinear
-    MIP-filtered (reference mipmap.h; EWA-style aniso via
-    render.mipmap.eval_aniso for explicit use)."""
+    MIP-filtered; aniso=True instead runs EWA-style anisotropic filtering
+    along the major footprint axis (reference mipmap.h:110 eval(),
+    MIPMap::EWA)."""
     n = uv.shape[0]
     out = jnp.zeros((n, 3))
     if tex.n_textures == 0:
@@ -110,7 +111,16 @@ def eval_texture(tex: TextureTable, tex_id, uv, vertex_color=None,
             val = jnp.zeros((n, 3))
             for si, img in enumerate(tex.images):
                 sel = (tex.image_slot[ti] == si)
-                if use_mip:
+                if use_mip and aniso:
+                    from mitsuba_tpu.render.mipmap import eval_aniso
+
+                    mip = tex.mips[si]
+                    sc = tex.uv_scale[ti]
+                    bi_r = eval_aniso(mip, uv_t, duv_dx * sc, duv_dy * sc,
+                                      clamp_wrap=False)
+                    bi_c = eval_aniso(mip, uv_t, duv_dx * sc, duv_dy * sc,
+                                      clamp_wrap=True)
+                elif use_mip:
                     from mitsuba_tpu.render.mipmap import (
                         eval_trilinear, lod_from_duv,
                     )

@@ -145,3 +145,72 @@ def test_tile_lists_conservative():
         tf = np.maximum(t0, t1).min(-1)
         really_hit = set(np.nonzero((tn <= tf) & (tf > 0))[1].tolist())
         assert really_hit <= listed
+
+
+def _wl_dict(v0, e1, e2, bvh, k=32):
+    from mitsuba_tpu.render.clusters import build_mt_tables
+
+    ranges = cut_clusters(bvh.first, bvh.count, bvh.skip, v0.shape[0],
+                          max_k=k)
+    mt = build_mt_tables(v0, e1, e2, ranges, k=k)
+    return dict(tri=jnp.asarray(mt.tri), tri_start=jnp.asarray(mt.tri_start),
+                bmin=jnp.asarray(mt.bmin), bmax=jnp.asarray(mt.bmax),
+                sc_bmin=jnp.asarray(mt.sc_bmin),
+                sc_bmax=jnp.asarray(mt.sc_bmax))
+
+
+def test_worklist_closest_matches_brute():
+    """v2 work-list kernel (the production cluster backend on TPU) in
+    interpret mode vs the all-pairs oracle, restricted to non-overflow
+    rows (overflow rows re-resolve through the XLA walk in production,
+    intersect.py)."""
+    from mitsuba_tpu.ops.worklist_pallas import wl_closest
+    from mitsuba_tpu.render.intersect import _mt_hit
+
+    v0, e1, e2, bvh = _make_geom(12)
+    wl = _wl_dict(v0, e1, e2, bvh)
+    n = 256
+    o, d = _rand_rays(n, seed=3)
+    mint = jnp.full(n, 1e-4)
+    maxt = jnp.full(n, 1e9)
+    t, u, v, prim, valid, ovf = wl_closest(wl, o, d, mint, maxt,
+                                           interpret=True)
+    keep = ~np.repeat(np.asarray(ovf), 128)[:n]
+
+    tb, ub, vb, hb = _mt_hit(
+        o[:, None], d[:, None], jnp.asarray(v0)[None],
+        jnp.asarray(e1)[None], jnp.asarray(e2)[None],
+        mint[:, None], maxt[:, None])
+    t_masked = jnp.where(hb, tb, jnp.inf)
+    t_ref = jnp.min(t_masked, axis=1)
+    valid_ref = jnp.isfinite(t_ref)
+
+    assert keep.mean() > 0.3   # the test is vacuous if everything overflows
+    assert np.array_equal(np.asarray(valid)[keep], np.asarray(valid_ref)[keep])
+    ok = keep & np.asarray(valid_ref)
+    np.testing.assert_allclose(np.asarray(t)[ok], np.asarray(t_ref)[ok],
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_worklist_any_matches_brute():
+    from mitsuba_tpu.ops.worklist_pallas import wl_any
+    from mitsuba_tpu.render.intersect import _mt_hit
+
+    v0, e1, e2, bvh = _make_geom(12)
+    wl = _wl_dict(v0, e1, e2, bvh)
+    n = 256
+    o, d = _rand_rays(n, seed=5)
+    mint = jnp.full(n, 1e-4)
+    maxt = jnp.full(n, 2.5)
+    occ, ovf = wl_any(wl, o, d, mint, maxt, interpret=True)
+    keep = ~np.repeat(np.asarray(ovf), 128)[:n]
+
+    tb, ub, vb, hb = _mt_hit(
+        o[:, None], d[:, None], jnp.asarray(v0)[None],
+        jnp.asarray(e1)[None], jnp.asarray(e2)[None],
+        mint[:, None], maxt[:, None])
+    occ_ref = np.asarray(jnp.any(hb, axis=1))
+    # occ=True is definitive even in overflow rows; occ=False only on
+    # non-overflow rows
+    assert (np.asarray(occ) & ~occ_ref).sum() == 0
+    assert np.array_equal(np.asarray(occ)[keep], occ_ref[keep])

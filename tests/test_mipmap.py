@@ -96,6 +96,61 @@ def test_eval_texture_mip_integration():
     np.testing.assert_allclose(np.asarray(blurred), 0.5, atol=0.05)
 
 
+def test_path_tracer_ewa_aniso():
+    """aniso_filter=True (EWA in the render path): on a grazing-view
+    checker floor the anisotropic filter must keep more texture contrast
+    than the isotropic ray-cone filter (which lods by the stretched major
+    axis and overblurs), while still de-aliasing vs unfiltered and
+    preserving energy."""
+    import numpy as np
+
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.integrators.path import PathConfig, render
+    from mitsuba_tpu.render import mesh as mesh_mod
+    from mitsuba_tpu.render.camera import make_perspective
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    b = SceneBuilder(build_mips=True)
+    # stripes varying along v ONLY: v maps to the minor footprint axis on
+    # this floor (major = view direction = u), so EWA keeps the stripes
+    # while the isotropic filter (lod from the stretched major) blurs them
+    n_tex = 128
+    yy = np.mgrid[0:n_tex, 0:n_tex][0]
+    stripes = ((yy // 4) % 2).astype(np.float32)
+    tid = b.textures.bitmap(np.repeat(stripes[:, :, None], 3, 2),
+                            gamma=1.0, uv_scale=(8.0, 8.0))
+    floor = b.materials.lambertian((1.0, 1.0, 1.0), tex_id=tid)
+    lm = b.materials.lambertian((0.0, 0.0, 0.0))
+    b.add_shape(mesh_mod.make_quad([-50, 0, -50], [-50, 0, 50],
+                                   [50, 0, 50], [50, 0, -50]), floor)
+    light = mesh_mod.make_quad([-2, 8, -2], [2, 8, -2], [2, 8, 2],
+                               [-2, 8, 2])
+    b.add_area_emitter_shape(light, lm, (30.0, 30.0, 30.0))
+    cam = make_perspective(tf.look_at([0, 1.2, 6], [0, 0.6, 0], [0, 1, 0]),
+                           55, 1.0)
+    b.set_camera(cam, 32, 32)
+    scene = b.build(backend="brute")
+    img_n, _ = render(scene, PathConfig(max_depth=2, spp=4, remat=False),
+                      seed=0)
+    img_m, _ = render(scene, PathConfig(max_depth=2, spp=4, remat=False,
+                                        mip_filter=True), seed=0)
+    img_a, _ = render(scene, PathConfig(max_depth=2, spp=4, remat=False,
+                                        aniso_filter=True), seed=0)
+    img_n, img_m, img_a = map(np.asarray, (img_n, img_m, img_a))
+    assert np.isfinite(img_a).all()
+    assert abs(img_a.mean() - img_n.mean()) / img_n.mean() < 0.12
+    mid = slice(18, 30)
+    # stripe contrast along image x within the band: aniso must keep
+    # clearly more than the isotropic ray-cone filter
+    def contrast(img):
+        band = img[mid, :, 0]
+        return float(np.std(band, axis=1).mean())
+    assert contrast(img_a) > 1.3 * contrast(img_m), (
+        contrast(img_a), contrast(img_m))
+    assert abs(img_a[mid].mean() - img_m[mid].mean()) \
+        / img_m[mid].mean() < 0.12
+
+
 def test_path_tracer_ray_cone_mip():
     """mip_filter=True renders run and de-alias: with a high-frequency
     checker bitmap on the floor, distant pixels converge toward the mean
