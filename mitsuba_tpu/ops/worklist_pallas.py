@@ -325,11 +325,36 @@ def _slab_can_improve(tri_ref, rays, tb, mnb):
     return tn <= tf
 
 
-def _make_closest_kernel(k_cl):
+def _xform_rays(rays, xf_ref):
+    """Apply the item's world->object 3x4 transform (xf_ref (1,16):
+    row-major [m00..m02 t0 m10..m12 t1 m20..m22 t2 pad]) to the packed
+    (8,128) ray planes. The ray PARAMETER t is invariant under an affine
+    map when the direction transforms linearly (no renormalization), so
+    world mint/maxt/best-t carry over unchanged — instanced clusters
+    intersect in object space with zero bookkeeping on t."""
+    m = [xf_ref[0, j] for j in range(12)]
+    o = [rays[0:1, :], rays[1:2, :], rays[2:3, :]]
+    d = [rays[3:4, :], rays[4:5, :], rays[5:6, :]]
+    rows = []
+    for r in range(3):
+        rows.append(m[4 * r + 0] * o[0] + m[4 * r + 1] * o[1]
+                    + m[4 * r + 2] * o[2] + m[4 * r + 3])
+    for r in range(3):
+        rows.append(m[4 * r + 0] * d[0] + m[4 * r + 1] * d[1]
+                    + m[4 * r + 2] * d[2])
+    return jnp.concatenate(rows + [rays[6:7, :], rays[7:8, :]], axis=0)
+
+
+def _make_closest_kernel(k_cl, instanced: bool = False):
     # output block (1, 8, 128): rows 0=t, 1=u, 2=v, 3=prim (int32 bits
     # bitcast into the f32 plane), 4-7 pad — Mosaic requires sublane-
     # divisible blocks, so four (1,128) outputs are packed into one
-    def kernel(items_ref, starts_ref, tri_ref, rays, out):
+    def kernel(items_ref, *args):
+        if instanced:
+            blocks_ref, starts_ref, tri_ref, xf_ref, rays, out = args
+        else:
+            starts_ref, tri_ref, rays, out = args
+            xf_ref = None
         w = pl.program_id(0)
         item = items_ref[w]
 
@@ -348,16 +373,17 @@ def _make_closest_kernel(k_cl):
         def _work():
             tb = out[0, 0:1, :]
             mnb = rays[0, 6:7, :]
-            # per-lane early exit: the cluster block embeds its AABB;
-            # front-to-back item order makes rows terminate early once
-            # every lane's best t is in front of the remaining clusters
-            can = _slab_can_improve(tri_ref, rays, tb, mnb)
+            rp = _xform_rays(rays[0], xf_ref) if instanced else rays[0]
+            # per-lane early exit: the cluster block embeds its (object-
+            # space) AABB; front-to-back item order makes rows terminate
+            # early once every lane's best t is in front of the rest
+            can = _slab_can_improve(tri_ref, rp[None], tb, mnb)
 
             @pl.when(jnp.max(can.astype(jnp.int32)) > 0)
             def _do():
                 cid = item & (_FIRST_BIT - 1)
                 t_run, k_run, u_run, v_run = _mt_chunks(
-                    tri_ref, rays[0], mnb, tb, k_cl)
+                    tri_ref, rp, mnb, tb, k_cl)
                 tmin = jnp.min(t_run, axis=0, keepdims=True)
                 improved = tmin < tb
                 # unique winner: smallest prim among t==tmin
@@ -411,8 +437,13 @@ def wl_probe(geom_cl, o, d, mint, maxt, w_factor: int = 16,
     return out[:, 0, :].reshape(-1)[:n], overflow
 
 
-def _make_any_kernel(k_cl):
-    def kernel(items_ref, starts_ref, tri_ref, rays, occ_o):
+def _make_any_kernel(k_cl, instanced: bool = False):
+    def kernel(items_ref, *args):
+        if instanced:
+            blocks_ref, starts_ref, tri_ref, xf_ref, rays, occ_o = args
+        else:
+            starts_ref, tri_ref, rays, occ_o = args
+            xf_ref = None
         w = pl.program_id(0)
         item = items_ref[w]
 
@@ -424,8 +455,9 @@ def _make_any_kernel(k_cl):
 
         @pl.when(((item & _VALID_BIT) != 0) & (live == 0))
         def _work():
+            rp = _xform_rays(rays[0], xf_ref) if instanced else rays[0]
             t_run, _, _, _ = _mt_chunks(
-                tri_ref, rays[0], rays[0, 6:7, :], rays[0, 7:8, :], k_cl)
+                tri_ref, rp, rays[0, 6:7, :], rays[0, 7:8, :], k_cl)
             hit = t_run < _BIG
             row_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
             occ_o[0, 0:1, :] = occ_o[0, 0:1, :] | row_hit
@@ -448,24 +480,27 @@ def _pack_rays(o, d, mint, maxt):
     return rays, n, n_rows
 
 
-def _row_spec():
+def _row_spec(n_pref):
+    idx = {2: lambda w, items, starts: (items[w] >> _ROW_SHIFT, 0, 0),
+           3: lambda w, items, blocks, starts: (items[w] >> _ROW_SHIFT,
+                                                0, 0)}[n_pref]
+    return pl.BlockSpec((1, 8, LANES), idx, memory_space=pltpu.VMEM)
+
+
+def _tri_spec(k_cl, n_pref):
+    # instanced mode (3 prefetch operands): the cluster id indexes the
+    # blocks table, which maps to a SHARED object-space triangle block —
+    # N instances of a group reference one copy of its triangle data
+    idx = {2: lambda w, items, starts: (items[w] & (_FIRST_BIT - 1), 0, 0),
+           3: lambda w, items, blocks, starts: (
+               blocks[items[w] & (_FIRST_BIT - 1)], 0, 0)}[n_pref]
+    return pl.BlockSpec((1, k_cl, 16), idx, memory_space=pltpu.VMEM)
+
+
+def _xf_spec():
     return pl.BlockSpec(
-        (1, 8, LANES),
-        lambda w, items, starts: (items[w] >> _ROW_SHIFT, 0, 0),
-        memory_space=pltpu.VMEM)
-
-
-def _out_spec():
-    return pl.BlockSpec(
-        (1, 8, LANES),
-        lambda w, items, starts: (items[w] >> _ROW_SHIFT, 0, 0),
-        memory_space=pltpu.VMEM)
-
-
-def _tri_spec(k_cl):
-    return pl.BlockSpec(
-        (1, k_cl, 16),
-        lambda w, items, starts: (items[w] & (_FIRST_BIT - 1), 0, 0),
+        (1, 16),
+        lambda w, items, blocks, starts: (items[w] & (_FIRST_BIT - 1), 0),
         memory_space=pltpu.VMEM)
 
 
@@ -473,23 +508,42 @@ def _call(kernel, out_dtype, geom_cl, o, d, mint, maxt, w_factor, l_sc,
           interpret=False):
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
     k_cl = geom_cl["tri"].shape[1]
+    instanced = geom_cl.get("block_id") is not None
     w_cap = n_rows * w_factor
     items, total, overflow = build_worklist(
         rays, geom_cl["bmin"], geom_cl["bmax"],
         geom_cl["sc_bmin"], geom_cl["sc_bmax"], w_cap, l_sc)
+    n_pref = 3 if instanced else 2
+    in_specs = [_tri_spec(k_cl, n_pref)]
+    operands = [items]
+    if instanced:
+        operands += [geom_cl["block_id"], geom_cl["tri_start"]]
+        in_specs += [_xf_spec()]
+    else:
+        operands += [geom_cl["tri_start"]]
+    in_specs += [_row_spec(n_pref)]
+    arrays = [geom_cl["tri"]]
+    if instanced:
+        arrays += [geom_cl["xform"]]
+    arrays += [rays]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,          # items, starts
+            num_scalar_prefetch=n_pref,   # items [, blocks], starts
             grid=(w_cap,),
-            in_specs=[_tri_spec(k_cl), _row_spec()],
-            out_specs=_out_spec(),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 8, LANES),
+                {2: lambda w, items, starts: (items[w] >> _ROW_SHIFT, 0, 0),
+                 3: lambda w, items, blocks, starts: (
+                     items[w] >> _ROW_SHIFT, 0, 0)}[n_pref],
+                memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((n_rows, 8, LANES), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(items, geom_cl["tri_start"], geom_cl["tri"], rays)
+    )(*operands, *arrays)
     return out, n, overflow
 
 
@@ -503,7 +557,9 @@ def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
     overflowing rows carry a LOWER BOUND only; the caller must re-resolve
     them (intersect.py falls back to the XLA BVH walk)."""
     out, n, overflow = _call(
-        _make_closest_kernel(geom_cl["tri"].shape[1]), jnp.float32,
+        _make_closest_kernel(geom_cl["tri"].shape[1],
+                             geom_cl.get("block_id") is not None),
+        jnp.float32,
         geom_cl, o, d, mint, maxt, w_factor, l_sc, interpret)
     t = out[:, 0, :].reshape(-1)[:n]
     u = out[:, 1, :].reshape(-1)[:n]
@@ -521,7 +577,8 @@ def wl_any(geom_cl, o, d, mint, maxt, w_factor: int = 16,
     """Shadow/any-hit query. Returns (occluded bool mask,
     overflow (n_rows,) bool — see wl_closest)."""
     out, n, overflow = _call(
-        _make_any_kernel(geom_cl["tri"].shape[1]), jnp.int32,
+        _make_any_kernel(geom_cl["tri"].shape[1],
+                         geom_cl.get("block_id") is not None), jnp.int32,
         geom_cl, o, d, mint, maxt, w_factor, l_sc, interpret)
     occ = out[:, 0, :].reshape(-1)[:n]
     return occ.astype(bool), overflow

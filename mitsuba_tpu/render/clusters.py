@@ -205,3 +205,115 @@ def build_mt_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     sc_bmax = bmax.reshape(c_s, sc_group, 3).max(1)
     return MTTables(tri=tri, tri_start=tri_start, bmin=bmin, bmax=bmax,
                     sc_bmin=sc_bmin, sc_bmax=sc_bmax)
+
+
+@dataclass
+class InstancedTables:
+    """Work-list tables with TRUE instancing (reference
+    src/shapes/instance.cpp nests kd-trees; here N instances of a group
+    share ONE copy of its object-space triangle blocks — per-instance
+    state is only a world AABB + a world->object transform per cluster).
+
+    tri:        (B, K, 16) shared object-space triangle blocks (cluster
+                AABB embedded in row 0 cols 9:15, object space)
+    block_id:   (C, ) i32 cluster -> shared block row
+    xform:      (C, 16) f32 world->object 3x4 row-major (+4 pad);
+                identity rows for non-instanced clusters
+    xform_fwd:  (C, 12) f32 object->world 3x4 (shading: tangents/normals)
+    tri_start:  (C, ) i32 prim-id base per cluster: real tri index for
+                static clusters, T_static + (c - C_static)*K virtual ids
+                for instanced ones (decoded in render/intersect.py)
+    bmin/bmax:  (C, 3) world cluster AABBs; sc_*: supercluster groups
+    """
+    tri: np.ndarray
+    block_id: np.ndarray
+    xform: np.ndarray
+    xform_fwd: np.ndarray
+    tri_start: np.ndarray
+    bmin: np.ndarray
+    bmax: np.ndarray
+    sc_bmin: np.ndarray
+    sc_bmax: np.ndarray
+    n_static_clusters: int = 0
+    n_static_tris: int = 0
+
+
+def build_instanced_tables(static_mt: MTTables, n_static_tris: int,
+                           group_mts, instances,
+                           k: int = CLUSTER_K,
+                           sc_group: int = SC_GROUP) -> InstancedTables:
+    """Combine the static-geometry MT tables with instanced groups.
+
+    group_mts: list of MTTables built from each group's OBJECT-space soup.
+    instances: list of (group_index, to_world (4,4)).
+    """
+    blocks = [static_mt.tri]
+    group_base = []
+    for g in group_mts:
+        group_base.append(sum(b.shape[0] for b in blocks))
+        blocks.append(g.tri)
+    tri = np.concatenate(blocks, axis=0)
+
+    c_static = static_mt.tri.shape[0]
+    ident = np.zeros(16, np.float32)
+    ident[[0, 5, 10]] = 1.0
+    rows_bid = [np.arange(c_static, dtype=np.int32)]
+    rows_xf = [np.tile(ident, (c_static, 1))]
+    rows_fwd = [np.tile(ident[:12], (c_static, 1))]
+    rows_start = [static_mt.tri_start]
+    rows_bmin = [static_mt.bmin]
+    rows_bmax = [static_mt.bmax]
+    vcursor = 0
+    for gi, m4 in instances:
+        g = group_mts[gi]
+        m4 = np.asarray(m4, np.float64)
+        inv = np.linalg.inv(m4)
+        cg = g.tri.shape[0]
+        rows_bid.append(group_base[gi] + np.arange(cg, dtype=np.int32))
+        rows_xf.append(np.tile(np.concatenate(
+            [inv[:3, :4].reshape(-1), np.zeros(4)]).astype(np.float32),
+            (cg, 1)))
+        rows_fwd.append(np.tile(
+            m4[:3, :4].reshape(-1).astype(np.float32), (cg, 1)))
+        # virtual prim space: cluster c covers [start, start + K)
+        rows_start.append(
+            (n_static_tris + vcursor + np.arange(cg) * k).astype(np.int32))
+        vcursor += cg * k
+        # world box: transform the 8 object-box corners. Group padding
+        # clusters carry INVERTED boxes — keep them inverted (transforming
+        # their corners would produce all-covering garbage boxes that
+        # flood every beam list)
+        corners = np.stack(np.meshgrid(*[[0, 1]] * 3, indexing="ij"),
+                           -1).reshape(8, 3)
+        lo, hi = g.bmin, g.bmax                      # (cg, 3)
+        ok_box = (lo <= hi).all(-1)
+        pts = lo[:, None, :] + corners[None] * (hi - lo)[:, None, :]
+        ptsw = pts @ m4[:3, :3].T + m4[:3, 3]
+        rows_bmin.append(np.where(ok_box[:, None], ptsw.min(1),
+                                  1e30).astype(np.float32))
+        rows_bmax.append(np.where(ok_box[:, None], ptsw.max(1),
+                                  -1e30).astype(np.float32))
+
+    bmin = np.concatenate(rows_bmin)
+    bmax = np.concatenate(rows_bmax)
+    c = bmin.shape[0]
+    c_s = max(1, -(-c // sc_group))
+    pad = c_s * sc_group - c
+    if pad:
+        bmin = np.concatenate([bmin, np.full((pad, 3), 1e30, np.float32)])
+        bmax = np.concatenate([bmax, np.full((pad, 3), -1e30, np.float32)])
+        rows_bid.append(np.zeros(pad, np.int32))
+        rows_xf.append(np.tile(ident, (pad, 1)))
+        rows_fwd.append(np.tile(ident[:12], (pad, 1)))
+        rows_start.append(np.zeros(pad, np.int32))
+    sc_bmin = bmin.reshape(c_s, sc_group, 3).min(1)
+    sc_bmax = bmax.reshape(c_s, sc_group, 3).max(1)
+    return InstancedTables(
+        tri=tri,
+        block_id=np.concatenate(rows_bid),
+        xform=np.concatenate(rows_xf).astype(np.float32),
+        xform_fwd=np.concatenate(rows_fwd).astype(np.float32),
+        tri_start=np.concatenate(rows_start).astype(np.int32),
+        bmin=bmin, bmax=bmax, sc_bmin=sc_bmin, sc_bmax=sc_bmax,
+        n_static_clusters=c_static, n_static_tris=int(n_static_tris),
+    )

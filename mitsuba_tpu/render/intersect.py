@@ -55,12 +55,39 @@ class GeometryTables:
     bvh_rows: jnp.ndarray = None     # (ceil(M/14), 128)
     tri_rows: jnp.ndarray = None     # (ceil(T/14), 128)
     # work-list cluster tables (ops/worklist_pallas.py; backend="cluster")
-    mt_tri: jnp.ndarray = None       # (C, K, 16) per-cluster triangle rows
-    mt_start: jnp.ndarray = None     # (C,) first-tri index per cluster
-    mt_bmin: jnp.ndarray = None      # (C, 3) cluster AABBs
+    mt_tri: jnp.ndarray = None       # (B, K, 16) triangle blocks (shared)
+    mt_start: jnp.ndarray = None     # (C,) prim base per cluster
+    mt_bmin: jnp.ndarray = None      # (C, 3) world cluster AABBs
     mt_bmax: jnp.ndarray = None      # (C, 3)
     cl_sc_bmin: jnp.ndarray = None   # (C_s, 3) supercluster bounds
     cl_sc_bmax: jnp.ndarray = None   # (C_s, 3)
+    # TRUE instancing (reference src/shapes/instance.cpp — nested trees;
+    # here instances share object-space blocks, see clusters.py
+    # InstancedTables). Virtual prim ids >= n_tris decode to
+    # (cluster, local) and shade through the obj_* tables below.
+    mt_block_id: jnp.ndarray = None  # (C,) cluster -> shared block row
+    mt_xform: jnp.ndarray = None     # (C, 16) world->object 3x4 rows
+    mt_xform_fwd: jnp.ndarray = None  # (C, 12) object->world 3x4 rows
+    obj_v0: jnp.ndarray = None       # (B*K, 3) block-aligned object tris
+    obj_e1: jnp.ndarray = None
+    obj_e2: jnp.ndarray = None
+    obj_n0: jnp.ndarray = None
+    obj_n1: jnp.ndarray = None
+    obj_n2: jnp.ndarray = None
+    obj_uv0: jnp.ndarray = None      # (B*K, 2)
+    obj_uv1: jnp.ndarray = None
+    obj_uv2: jnp.ndarray = None
+    obj_mid: jnp.ndarray = None      # (B*K,) material ids
+    obj_sid: jnp.ndarray = None      # (B*K,) shape ids
+    # exact per-instance walks (CPU path + overflow-row fallback):
+    # object-space sub-geometries per GROUP + per-instance transforms
+    inst_groups: tuple = None        # tuple of GeometryTables (pytrees)
+    inst_tri2virt: tuple = None      # per group: (T_g,) tri -> cid*K+local
+    inst_xf_inv: jnp.ndarray = None  # (I, 12) world->object rows
+    inst_gid: tuple = static_field(default=())   # group index per instance
+    inst_vp_base: tuple = static_field(default=())  # virtual prim bases
+    n_static_clusters: int = static_field(default=0)
+    mt_k: int = static_field(default=32)
     # analytic primitives (reference src/shapes/sphere.cpp:359 analytic
     # intersection, cylinder.cpp — NOT tessellated). Prim-id space:
     # triangles [0,T), spheres [T,T+S), cylinders [T+S,T+S+C).
@@ -78,10 +105,18 @@ class GeometryTables:
     backend: str = static_field(default="brute")
 
     @property
+    def has_instances(self):
+        return self.mt_block_id is not None
+
+    @property
     def wl_tables(self):
-        return dict(tri=self.mt_tri, tri_start=self.mt_start,
-                    bmin=self.mt_bmin, bmax=self.mt_bmax,
-                    sc_bmin=self.cl_sc_bmin, sc_bmax=self.cl_sc_bmax)
+        d = dict(tri=self.mt_tri, tri_start=self.mt_start,
+                 bmin=self.mt_bmin, bmax=self.mt_bmax,
+                 sc_bmin=self.cl_sc_bmin, sc_bmax=self.cl_sc_bmax)
+        if self.mt_block_id is not None:
+            d["block_id"] = self.mt_block_id
+            d["xform"] = self.mt_xform
+        return d
 
     @property
     def n_tris(self):
@@ -101,7 +136,7 @@ class GeometryTables:
 
 
 def build_geometry(meshes_with_ids, backend: str = "auto",
-                   analytic=None) -> GeometryTables:
+                   analytic=None, instanced=None) -> GeometryTables:
     """Assemble GeometryTables from [(TriMesh, material_id, emitter_id
     [, shape_id]), ...].
 
@@ -110,6 +145,11 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
     as the CPU fallback).
     analytic: optional dict(spheres=[(c, r, mid, eid, sid)],
     cylinders=[(a, b, r, mid, eid, sid)]) of analytic primitives.
+    instanced: optional (groups, instances) for TRUE instancing
+    (cluster backend only): groups = list of [(TriMesh, material_id,
+    shape_id), ...] in OBJECT space; instances = [(group_idx, 4x4
+    to_world), ...]. Instance triangles share one object-space copy;
+    they cannot be emitters or carry interior media.
     """
     vs, fs, ns, uvs, mids, eids, sids = [], [], [], [], [], [], []
     voff = 0
@@ -167,19 +207,121 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
     tri = v[f]  # (T,3,3)
     cl = {}
     if backend == "cluster":
-        from mitsuba_tpu.render.clusters import build_mt_tables, cut_clusters
+        from mitsuba_tpu.render.clusters import (
+            build_instanced_tables, build_mt_tables, cut_clusters,
+        )
 
+        K = 32
         ranges = cut_clusters(bvh.first, bvh.count, bvh.skip, f.shape[0],
-                              max_k=32)
+                              max_k=K)
         mt = build_mt_tables(
             tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0],
-            ranges, k=32)
+            ranges, k=K)
         cl = dict(
             mt_tri=jnp.asarray(mt.tri), mt_start=jnp.asarray(mt.tri_start),
             mt_bmin=jnp.asarray(mt.bmin), mt_bmax=jnp.asarray(mt.bmax),
             cl_sc_bmin=jnp.asarray(mt.sc_bmin),
             cl_sc_bmax=jnp.asarray(mt.sc_bmax),
+            mt_k=K,
         )
+        if instanced and instanced[1]:
+            groups, instances = instanced
+            group_mts = []
+            group_attr = []
+            for gitems in groups:
+                gsub = build_geometry(
+                    [(msh, mi, -1, si) for msh, mi, si in gitems],
+                    backend="cluster")
+                # re-derive the group's MT tables + block-aligned attrs
+                granges = None
+                gtri = np.stack([np.asarray(gsub.v0),
+                                 np.asarray(gsub.v0) + np.asarray(gsub.e1),
+                                 np.asarray(gsub.v0) + np.asarray(gsub.e2)],
+                                axis=1)
+                gmt_tri = np.asarray(gsub.mt_tri)
+                group_mts.append(type(mt)(
+                    tri=gmt_tri,
+                    tri_start=np.asarray(gsub.mt_start),
+                    bmin=np.asarray(gsub.mt_bmin),
+                    bmax=np.asarray(gsub.mt_bmax),
+                    sc_bmin=np.asarray(gsub.cl_sc_bmin),
+                    sc_bmax=np.asarray(gsub.cl_sc_bmax)))
+                group_attr.append(gsub)
+            it = build_instanced_tables(mt, f.shape[0], group_mts,
+                                        instances, k=K)
+            # block-aligned object attrs: rows [block*K + local]; static
+            # blocks keep zeros (their prims shade via the world tables)
+            B = it.tri.shape[0]
+
+            def blk(field, width):
+                out = np.zeros((B * K, width), np.float32) if width > 1 \
+                    else np.zeros(B * K, np.int32)
+                base = mt.tri.shape[0]
+                for gsub, gmts in zip(group_attr, group_mts):
+                    starts = np.asarray(gsub.mt_start)
+                    src = np.asarray(getattr(gsub, field))
+                    for ci in range(gmts.tri.shape[0]):
+                        s = int(starts[ci])
+                        cnt = min(K, src.shape[0] - s) if s < src.shape[0] \
+                            else 0
+                        # padding clusters repeat start 0 rows; their tri
+                        # blocks are zero and never hit, so garbage attrs
+                        # here are unreachable
+                        if cnt > 0:
+                            out[(base + ci) * K:(base + ci) * K + cnt] = \
+                                src[s:s + cnt]
+                    base += gmts.tri.shape[0]
+                return out
+
+            cl.update(
+                mt_tri=jnp.asarray(it.tri),
+                mt_start=jnp.asarray(it.tri_start),
+                mt_bmin=jnp.asarray(it.bmin), mt_bmax=jnp.asarray(it.bmax),
+                cl_sc_bmin=jnp.asarray(it.sc_bmin),
+                cl_sc_bmax=jnp.asarray(it.sc_bmax),
+                mt_block_id=jnp.asarray(it.block_id),
+                mt_xform=jnp.asarray(it.xform),
+                mt_xform_fwd=jnp.asarray(it.xform_fwd),
+                obj_v0=jnp.asarray(blk("v0", 3)),
+                obj_e1=jnp.asarray(blk("e1", 3)),
+                obj_e2=jnp.asarray(blk("e2", 3)),
+                obj_n0=jnp.asarray(blk("n0", 3)),
+                obj_n1=jnp.asarray(blk("n1", 3)),
+                obj_n2=jnp.asarray(blk("n2", 3)),
+                obj_uv0=jnp.asarray(blk("uv0", 2)),
+                obj_uv1=jnp.asarray(blk("uv1", 2)),
+                obj_uv2=jnp.asarray(blk("uv2", 2)),
+                obj_mid=jnp.asarray(blk("material_id", 1)),
+                obj_sid=jnp.asarray(blk("shape_id", 1)),
+                n_static_clusters=it.n_static_clusters,
+            )
+            # exact-walk side tables: per-group tri -> (cluster*K + local)
+            tri2virt = []
+            for gsub, gmts in zip(group_attr, group_mts):
+                t2v = np.zeros(gsub.n_tris, np.int64)
+                starts = np.asarray(gsub.mt_start)
+                for ci in range(gmts.tri.shape[0]):
+                    s = int(starts[ci])
+                    cnt = min(K, gsub.n_tris - s) if s < gsub.n_tris else 0
+                    if cnt > 0:
+                        t2v[s:s + cnt] = ci * K + np.arange(cnt)
+                tri2virt.append(jnp.asarray(t2v, jnp.int32))
+            vp_base = []
+            ccur = it.n_static_clusters
+            xf_inv = []
+            for gi_i, m4 in instances:
+                vp_base.append(f.shape[0] + (ccur - it.n_static_clusters)
+                               * K)
+                ccur += group_mts[gi_i].tri.shape[0]
+                inv = np.linalg.inv(np.asarray(m4, np.float64))
+                xf_inv.append(inv[:3, :4].reshape(-1))
+            cl.update(
+                inst_groups=tuple(group_attr),
+                inst_tri2virt=tuple(tri2virt),
+                inst_xf_inv=jnp.asarray(np.asarray(xf_inv, np.float32)),
+                inst_gid=tuple(int(g) for g, _ in instances),
+                inst_vp_base=tuple(int(v_) for v_ in vp_base),
+            )
     ana = {}
     if analytic:
         sph = analytic.get("spheres") or []
@@ -336,10 +478,17 @@ def _slab_test(bmin, bmax, o, inv_d, mint, tmax):
     return t_near <= t_far
 
 
-def _closest_bvh(geom: GeometryTables, ray: Ray):
+def _closest_bvh_unrolled(geom: GeometryTables, ray: Ray):
     """Packed-row traversal: ONE (N,9) node gather + MAX_LEAF (N,9) triangle
     gathers per step (the naive version did ~10 separate (N,) gathers per
-    step — gathers dominate TPU cost)."""
+    step — gathers dominate TPU cost).
+
+    NOTE: kept as the CPU/test oracle. On TPU, a while_loop whose body
+    carries several million-lane gathers crashes the worker when embedded
+    in a scan at ~1M lanes (reproduced: masked 2-iteration runs die;
+    single-gather bodies with hundreds of iterations survive) — TPU
+    callers use _closest_bvh below, which issues one node and one
+    triangle gather per iteration with an explicit step bound."""
     n = ray.o.shape[0]
     m_nodes = geom.bvh_min.shape[0]
     inv_d = m.safe_rcp(ray.d)
@@ -390,7 +539,134 @@ def _closest_bvh(geom: GeometryTables, ray: Ray):
     return t_best, uv_best[:, 0], uv_best[:, 1], prim_best, valid
 
 
+def _walk_phased(geom: GeometryTables, ray: Ray, any_hit: bool):
+    """Skip-link walk with ONE node gather + ONE triangle gather per
+    iteration (leaf triangles consumed one per step through carried leaf
+    state). Strictly bounded: each step either advances the node cursor
+    or consumes a leaf triangle, so steps <= (MAX_LEAF+1)*n_nodes — the
+    cond carries that cap explicitly. This body shape is required on TPU:
+    see _closest_bvh_unrolled's note."""
+    n = ray.o.shape[0]
+    m_nodes = geom.bvh_min.shape[0]
+    inv_d = m.safe_rcp(ray.d)
+    nodes = geom.bvh_packed
+    tris = geom.tri_packed
+    cap = (MAX_LEAF + 1) * m_nodes + 8
+
+    def cond(state):
+        (node, lf, lc, lk, steps, t_best, uv, prim, valid) = state
+        live = (node < m_nodes) | (lk < lc)
+        if any_hit:
+            live = live & ~valid
+        return jnp.any(live) & (steps < cap)
+
+    def body(state):
+        (node, lf, lc, lk, steps, t_best, uv_best, prim_best,
+         valid) = state
+        in_leaf = lk < lc
+        if any_hit:
+            in_leaf = in_leaf & ~valid
+        # --- triangle phase (lanes inside a leaf test one triangle) ----
+        ti = jnp.minimum(lf + jnp.minimum(lk, MAX_LEAF - 1),
+                         geom.n_tris - 1)
+        trow = tris[ti]                          # one gather
+        t, u, v, hit = _mt_hit(ray.o, ray.d, trow[:, 0:3], trow[:, 3:6],
+                               trow[:, 6:9], ray.mint,
+                               jnp.minimum(ray.maxt, t_best))
+        closer = in_leaf & hit & (t < t_best)
+        t_best = jnp.where(closer, t, t_best)
+        uv_best = jnp.where(closer[:, None], jnp.stack([u, v], -1),
+                            uv_best)
+        prim_best = jnp.where(closer, ti, prim_best)
+        valid = valid | closer
+        lk = jnp.where(in_leaf, lk + 1, lk)
+        # --- node phase (lanes not in a leaf advance the cursor) --------
+        do_node = ~in_leaf & (node < m_nodes)
+        if any_hit:
+            do_node = do_node & ~valid
+        nd = jnp.minimum(node, m_nodes - 1)
+        row = nodes[nd]                          # one gather
+        bmin, bmax = row[:, 0:3], row[:, 3:6]
+        first = row[:, 6].astype(jnp.int32)
+        count = row[:, 7].astype(jnp.int32)
+        skip = row[:, 8].astype(jnp.int32)
+        box_hit = do_node & _slab_test(bmin, bmax, ray.o, inv_d,
+                                       ray.mint,
+                                       jnp.minimum(ray.maxt, t_best))
+        is_leaf = count > 0
+        enter = box_hit & is_leaf
+        lf = jnp.where(enter, first, lf)
+        lc = jnp.where(enter, jnp.minimum(count, MAX_LEAF), lc)
+        lk = jnp.where(enter, 0, lk)
+        nxt = jnp.where(box_hit & ~is_leaf, nd + 1, skip)
+        node = jnp.where(do_node, nxt, node)
+        return (node, lf, lc, lk, steps + 1, t_best, uv_best, prim_best,
+                valid)
+
+    init = (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.full(n, jnp.inf),
+            jnp.zeros((n, 2)), jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, bool))
+    (_, _, _, _, _, t_best, uv_best, prim_best, valid) = \
+        jax.lax.while_loop(cond, body, init)
+    return t_best, uv_best[:, 0], uv_best[:, 1], prim_best, valid
+
+
+def _closest_bvh(geom: GeometryTables, ray: Ray):
+    if _use_pallas():
+        return _walk_phased(geom, ray, any_hit=False)
+    return _closest_bvh_unrolled(geom, ray)
+
+
+def _xf_ray(ray: Ray, xf_row):
+    """Transform a ray by a (12,) world->object 3x4 row (t is invariant:
+    the direction transforms linearly, no renormalization)."""
+    M = xf_row.reshape(3, 4)
+    o = ray.o @ M[:, :3].T + M[:, 3]
+    d = ray.d @ M[:, :3].T
+    return Ray(o=o, d=d, mint=ray.mint, maxt=ray.maxt)
+
+
+def _instances_closest(geom: GeometryTables, ray: Ray, t_best, uv_b,
+                       prim_b, valid_b):
+    """Exact closest-hit against every instance via the per-group walk
+    (trace-time loop over instances; groups shared). Merges into the
+    incoming best record; instanced prims are virtual ids >= n_tris."""
+    u_b, v_b = uv_b
+    for ii, gi in enumerate(geom.inst_gid):
+        sub = geom.inst_groups[gi]
+        r2 = _xf_ray(ray, geom.inst_xf_inv[ii])
+        r2 = replace(r2, maxt=jnp.minimum(r2.maxt, t_best))
+        t, u, v, p, ok = _closest_bvh(sub, r2)
+        closer = ok & (t < t_best)
+        vp = geom.inst_vp_base[ii] + geom.inst_tri2virt[gi][
+            jnp.clip(p, 0, sub.n_tris - 1)]
+        t_best = jnp.where(closer, t, t_best)
+        u_b = jnp.where(closer, u, u_b)
+        v_b = jnp.where(closer, v, v_b)
+        prim_b = jnp.where(closer, vp, prim_b)
+        valid_b = valid_b | closer
+    return t_best, u_b, v_b, prim_b, valid_b
+
+
+def _instances_any(geom: GeometryTables, ray: Ray):
+    occ = jnp.zeros(ray.o.shape[0], bool)
+    for ii, gi in enumerate(geom.inst_gid):
+        sub = geom.inst_groups[gi]
+        r2 = _xf_ray(ray, geom.inst_xf_inv[ii])
+        occ = occ | _any_bvh(sub, r2)
+    return occ
+
+
 def _any_bvh(geom: GeometryTables, ray: Ray):
+    if _use_pallas():
+        t, u, v, prim, valid = _walk_phased(geom, ray, any_hit=True)
+        return valid
+    return _any_bvh_unrolled(geom, ray)
+
+
+def _any_bvh_unrolled(geom: GeometryTables, ray: Ray):
     n = ray.o.shape[0]
     m_nodes = geom.bvh_min.shape[0]
     inv_d = m.safe_rcp(ray.d)
@@ -484,11 +760,19 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
             ray.mint <= ray.maxt)
         fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
         tf_, uf, vf, pf, okf = _closest_bvh(geom, fb_ray)
-        t = jnp.where(lane_ovf, tf_, t)
-        u = jnp.where(lane_ovf, uf, u)
-        v = jnp.where(lane_ovf, vf, v)
-        prim = jnp.where(lane_ovf, pf, prim)
-        valid = jnp.where(lane_ovf, okf, valid)
+        if geom.has_instances:
+            # the static walk doesn't see instances: extend the fallback
+            # with the exact per-instance walks (virtual prim ids)
+            tf_, uf, vf, pf, okf = _instances_closest(
+                geom, fb_ray, tf_, (uf, vf), pf, okf)
+        # keep the NEARER of the work-list result (a true hit, possibly
+        # not the nearest in an overflow row) and the fallback walk
+        take_fb = lane_ovf & okf & (~valid | (tf_ < t))
+        t = jnp.where(take_fb, tf_, t)
+        u = jnp.where(take_fb, uf, u)
+        v = jnp.where(take_fb, vf, v)
+        prim = jnp.where(take_fb, pf, prim)
+        valid = jnp.where(lane_ovf, okf | valid, valid)
     elif geom.backend == "bvh" and _use_pallas():
         from mitsuba_tpu.ops import bvh_pallas as bp
 
@@ -500,9 +784,16 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
         prim = jnp.where(valid, prim, 0)
     elif geom.backend in ("bvh", "cluster"):
         t, u, v, prim, valid = _closest_bvh(geom, ray)
+        if geom.has_instances:
+            t, u, v, prim, valid = _instances_closest(
+                geom, ray, t, (u, v), prim, valid)
     else:
         t, u, v, prim, valid = _closest_brute(geom, ray)
-    prim = jnp.where(valid, prim, 0)
+    prim_raw = jnp.where(valid, prim, 0)
+    is_inst = jnp.zeros_like(valid)
+    if geom.has_instances:
+        is_inst = valid & (prim_raw >= geom.n_tris)
+    prim = jnp.where(is_inst, 0, prim_raw)
     p = ray.at(jnp.where(valid, t, 1.0))   # finite on miss (see above)
     w = 1.0 - u - v
     geo_n = m.normalize(jnp.cross(geom.e1[prim], geom.e2[prim]))
@@ -512,6 +803,58 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
     uv = (
         w[:, None] * geom.uv0[prim] + u[:, None] * geom.uv1[prim] + v[:, None] * geom.uv2[prim]
     )
+    material_id = geom.material_id[prim]
+    emitter_id = geom.emitter_id[prim]
+    shape_id = geom.shape_id[prim]
+    if geom.has_instances:
+        # virtual prims: decode (cluster, local) and shade from the shared
+        # object-space block tables, rotating directions to world space
+        # (contravariant via the forward 3x3, normals via the inverse
+        # transpose = the stored world->object rows transposed)
+        K = geom.mt_k
+        vp = jnp.maximum(prim_raw - geom.n_tris, 0)
+        vcid = geom.n_static_clusters + vp // K
+        vcid = jnp.clip(vcid, 0, geom.mt_block_id.shape[0] - 1)
+        oid = geom.mt_block_id[vcid] * K + vp % K
+        fwd = geom.mt_xform_fwd[vcid]            # (N, 12) object->world
+        inv = geom.mt_xform[vcid]                # (N, 16) world->object
+
+        def rot_fwd(vec):
+            return jnp.stack(
+                [fwd[:, 0] * vec[:, 0] + fwd[:, 1] * vec[:, 1]
+                 + fwd[:, 2] * vec[:, 2],
+                 fwd[:, 4] * vec[:, 0] + fwd[:, 5] * vec[:, 1]
+                 + fwd[:, 6] * vec[:, 2],
+                 fwd[:, 8] * vec[:, 0] + fwd[:, 9] * vec[:, 1]
+                 + fwd[:, 10] * vec[:, 2]], axis=-1)
+
+        def rot_normal(nvec):
+            # world normal ∝ M_wo^T n_obj  (M_wo = inverse linear part)
+            return jnp.stack(
+                [inv[:, 0] * nvec[:, 0] + inv[:, 4] * nvec[:, 1]
+                 + inv[:, 8] * nvec[:, 2],
+                 inv[:, 1] * nvec[:, 0] + inv[:, 5] * nvec[:, 1]
+                 + inv[:, 9] * nvec[:, 2],
+                 inv[:, 2] * nvec[:, 0] + inv[:, 6] * nvec[:, 1]
+                 + inv[:, 10] * nvec[:, 2]], axis=-1)
+
+        e1w = rot_fwd(geom.obj_e1[oid])
+        e2w = rot_fwd(geom.obj_e2[oid])
+        geo_n_i = m.normalize(jnp.cross(e1w, e2w))
+        n_obj = (w[:, None] * geom.obj_n0[oid]
+                 + u[:, None] * geom.obj_n1[oid]
+                 + v[:, None] * geom.obj_n2[oid])
+        sh_n_i = m.normalize(rot_normal(n_obj))
+        uv_i = (w[:, None] * geom.obj_uv0[oid]
+                + u[:, None] * geom.obj_uv1[oid]
+                + v[:, None] * geom.obj_uv2[oid])
+        mask = is_inst[:, None]
+        geo_n = jnp.where(mask, geo_n_i, geo_n)
+        sh_n = jnp.where(mask, sh_n_i, sh_n)
+        uv = jnp.where(mask, uv_i, uv)
+        material_id = jnp.where(is_inst, geom.obj_mid[oid], material_id)
+        emitter_id = jnp.where(is_inst, -1, emitter_id)
+        shape_id = jnp.where(is_inst, geom.obj_sid[oid], shape_id)
     # true parametric dp_du from the uv parameterization (reference
     # trimesh.cpp fillIntersectionRecord): solve [e1 e2] = [dp_du dp_dv]
     # * [duv1 duv2]; falls back to e1 for degenerate uv charts
@@ -525,6 +868,17 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
         (duv2[:, 1:2] * geom.e1[prim] - duv1[:, 1:2] * geom.e2[prim])
         * inv_det[:, None],
         geom.e1[prim])
+    if geom.has_instances:
+        duv1i = geom.obj_uv1[oid] - geom.obj_uv0[oid]
+        duv2i = geom.obj_uv2[oid] - geom.obj_uv0[oid]
+        det_i = duv1i[:, 0] * duv2i[:, 1] - duv1i[:, 1] * duv2i[:, 0]
+        ok_i = jnp.abs(det_i) > 1e-12
+        inv_i = 1.0 / jnp.where(ok_i, det_i, 1.0)
+        dp_du_i = jnp.where(
+            ok_i[:, None],
+            (duv2i[:, 1:2] * e1w - duv1i[:, 1:2] * e2w) * inv_i[:, None],
+            e1w)
+        dp_du = jnp.where(is_inst[:, None], dp_du_i, dp_du)
     frame = m.Frame.from_normal_tangent(sh_n, dp_du)
     wi = frame.to_local(-ray.d)
     return Intersection(
@@ -536,10 +890,10 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
         uv=uv,
         dp_du=dp_du,
         wi=wi,
-        prim_id=jnp.where(valid, prim, -1),
-        shape_id=jnp.where(valid, geom.shape_id[prim], -1),
-        material_id=jnp.where(valid, geom.material_id[prim], -1),
-        emitter_id=jnp.where(valid, geom.emitter_id[prim], -1),
+        prim_id=jnp.where(valid, prim_raw, -1),
+        shape_id=jnp.where(valid, shape_id, -1),
+        material_id=jnp.where(valid, material_id, -1),
+        emitter_id=jnp.where(valid, emitter_id, -1),
     )
 
 
@@ -590,7 +944,10 @@ def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
         lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
             ray.mint <= ray.maxt) & ~occ
         fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
-        return occ | (_any_bvh(geom, fb_ray) & lane_ovf)
+        fb = _any_bvh(geom, fb_ray)
+        if geom.has_instances:
+            fb = fb | _instances_any(geom, fb_ray)
+        return occ | (fb & lane_ovf)
     if geom.backend in ("bvh", "cluster"):
         if _use_pallas():
             from mitsuba_tpu.ops import bvh_pallas as bp
@@ -600,7 +957,10 @@ def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
                 ray.maxt, n_nodes=geom.bvh_min.shape[0],
                 n_tris=geom.n_tris,
             )
-        return _any_bvh(geom, ray)
+        occ = _any_bvh(geom, ray)
+        if geom.has_instances:
+            occ = occ | _instances_any(geom, ray)
+        return occ
     if _use_pallas():
         from mitsuba_tpu.ops import intersect_pallas as ip
 

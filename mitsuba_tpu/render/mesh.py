@@ -109,9 +109,13 @@ def make_sphere_mesh(center, radius, n_theta=32, n_phi=64, name="sphere") -> Tri
     for i in range(n_theta):
         for j in range(n_phi):
             a, b, c, d = i * w + j, i * w + j + 1, (i + 1) * w + j + 1, (i + 1) * w + j
-            if i > 0:
-                faces.append([a, d, c])
+            # (a,d,c) degenerates when row i+1 is the bottom pole;
+            # (a,c,b) when row i is the top pole (two coincident pole
+            # vertices). These conditions were swapped, leaving BOTH pole
+            # caps as holes made of zero-area triangles.
             if i < n_theta - 1:
+                faces.append([a, d, c])
+            if i > 0:
                 faces.append([a, c, b])
     return TriMesh(
         v.astype(np.float32),

@@ -65,6 +65,8 @@ class SceneBuilder:
         self._media = []            # (sigma_s, sigma_a, g)
         self._subsurface = []       # dicts: material_id, sigma_s, ...
         self._animated = []         # (mesh, material_id, emitter_id, track)
+        self._inst_groups = []      # true instancing: [(mesh, mid, sid)]
+        self._instances = []        # (group_id, to_world 4x4)
         self.camera = None
         self.width = 256
         self.height = 256
@@ -149,6 +151,30 @@ class SceneBuilder:
         eid = self.emitters.area(mesh, radiance)
         return self.add_shape(mesh, material_id, eid)
 
+    def add_instanced_group(self, meshes_with_mats) -> int:
+        """Register a shape group for TRUE instancing (reference
+        shapegroup.cpp + instance.cpp): meshes_with_mats = [(TriMesh in
+        OBJECT space, material_id), ...]. Returns a group id for
+        add_instance. N instances share ONE copy of the group's triangle
+        data on device (cluster backend; other backends flatten).
+        Instanced shapes cannot be emitters or carry interior media."""
+        gid = len(self._inst_groups)
+        items = []
+        for msh, mid in meshes_with_mats:
+            sid = self._n_shapes
+            self._n_shapes += 1
+            self._shape_interior.append(-1)
+            items.append((msh, int(mid), sid))
+        self._inst_groups.append(items)
+        return gid
+
+    def add_instance(self, group_id: int, to_world):
+        """Place an instance of a registered group (instance.cpp)."""
+        import numpy as _np
+
+        self._instances.append((int(group_id),
+                                _np.asarray(to_world, _np.float64)))
+
     def add_animated_shape(self, mesh, material_id, track,
                            emitter_id: int = -1):
         """Shape with an animated to-world transform (reference
@@ -227,8 +253,16 @@ class SceneBuilder:
             self._shapes.append((far, 0, -1, self._n_shapes))
             self._n_shapes += 1
             self._shape_interior.append(-1)
+        instanced = None
+        if self._instances:
+            if backend not in ("cluster", "auto"):
+                raise ValueError(
+                    "true instancing requires the cluster backend")
+            backend = "cluster"
+            instanced = (self._inst_groups, self._instances)
         geom = build_geometry(self._shapes, backend=backend,
-                              analytic=self._analytic)
+                              analytic=self._analytic,
+                              instanced=instanced)
         # triangle->emitter binding arrives in BVH order inside geom
         tri_emitter = np.asarray(geom.emitter_id)
         # areas in the same (BVH) order

@@ -214,3 +214,97 @@ def test_worklist_any_matches_brute():
     # non-overflow rows
     assert (np.asarray(occ) & ~occ_ref).sum() == 0
     assert np.array_equal(np.asarray(occ)[keep], occ_ref[keep])
+
+
+def test_instanced_worklist_matches_flattened():
+    """TRUE instancing (reference instance.cpp nests kd-trees; here
+    instances share one object-space block table + per-cluster world
+    boxes/transforms): closest hits must match intersecting the
+    explicitly flattened copies."""
+    from mitsuba_tpu.ops.worklist_pallas import wl_any, wl_closest
+    from mitsuba_tpu.render.clusters import (
+        build_instanced_tables, build_mt_tables,
+    )
+    from mitsuba_tpu.render.intersect import _mt_hit
+
+    # static floor + a small sphere group instanced twice
+    floor = mesh_mod.make_quad([-4, -4, 0], [4, -4, 0], [4, 4, 0],
+                               [-4, 4, 0])
+    fv = np.asarray(floor.vertices, np.float32)
+    ff = np.asarray(floor.faces, np.int64)
+    sbvh = build_bvh(fv, ff)
+    ftri = fv[ff[sbvh.perm]]
+    static_mt = build_mt_tables(
+        ftri[:, 0], ftri[:, 1] - ftri[:, 0], ftri[:, 2] - ftri[:, 0],
+        cut_clusters(sbvh.first, sbvh.count, sbvh.skip, ff.shape[0]))
+
+    g = mesh_mod.make_sphere_mesh([0, 0, 0], 1.0, 8, 16)
+    gv = np.asarray(g.vertices, np.float32)
+    gf = np.asarray(g.faces, np.int64)
+    gbvh = build_bvh(gv, gf)
+    gtri = gv[gf[gbvh.perm]]
+    gmt = build_mt_tables(
+        gtri[:, 0], gtri[:, 1] - gtri[:, 0], gtri[:, 2] - gtri[:, 0],
+        cut_clusters(gbvh.first, gbvh.count, gbvh.skip, gf.shape[0]))
+
+    def xlate_scale(t, s):
+        m = np.eye(4)
+        m[:3, 3] = t
+        m[0, 0] = m[1, 1] = m[2, 2] = s
+        return m
+
+    insts = [(0, xlate_scale([-1.5, 0, 1.2], 1.0)),
+             (0, xlate_scale([1.5, 0, 1.5], 0.6))]
+    it = build_instanced_tables(static_mt, ff.shape[0], [gmt], insts)
+    geom_cl = dict(
+        tri=jnp.asarray(it.tri), tri_start=jnp.asarray(it.tri_start),
+        bmin=jnp.asarray(it.bmin), bmax=jnp.asarray(it.bmax),
+        sc_bmin=jnp.asarray(it.sc_bmin), sc_bmax=jnp.asarray(it.sc_bmax),
+        block_id=jnp.asarray(it.block_id), xform=jnp.asarray(it.xform))
+
+    # reference: flattened world-space soup, brute all-pairs
+    world = [ftri]
+    for gi, m4 in insts:
+        world.append(gtri @ m4[:3, :3].T + m4[:3, 3])
+    wtri = np.concatenate(world).astype(np.float32)
+    v0 = jnp.asarray(wtri[:, 0])
+    e1 = jnp.asarray(wtri[:, 1] - wtri[:, 0])
+    e2 = jnp.asarray(wtri[:, 2] - wtri[:, 0])
+
+    n = 256
+    o, d = _rand_rays(n, seed=11, scale=4.0)
+    mint = jnp.full(n, 1e-4)
+    maxt = jnp.full(n, 1e9)
+    t, u, v, prim, valid, ovf = wl_closest(geom_cl, o, d, mint, maxt,
+                                           interpret=True)
+    keep = ~np.repeat(np.asarray(ovf), 128)[:n]
+
+    tb, ub, vb, hb = _mt_hit(o[:, None], d[:, None], v0[None], e1[None],
+                             e2[None], mint[:, None], maxt[:, None])
+    t_ref = jnp.min(jnp.where(hb, tb, jnp.inf), axis=1)
+    ok_ref = np.asarray(jnp.isfinite(t_ref))
+    assert keep.mean() > 0.3
+    assert np.array_equal(np.asarray(valid)[keep], ok_ref[keep])
+    sel = keep & ok_ref
+    np.testing.assert_allclose(np.asarray(t)[sel], np.asarray(t_ref)[sel],
+                               rtol=5e-4, atol=5e-5)
+    # virtual prim decode: instanced hits land in [T_static, ...)
+    pr = np.asarray(prim)[sel]
+    assert (pr >= ff.shape[0]).sum() > 0      # spheres actually hit
+    # a ray down through instance 0's sphere (slightly off the pole
+    # vertex — a ray exactly through a shared vertex can miss in fp)
+    o1 = jnp.asarray(np.tile([[-1.45, 0.1, 5.4]], (n, 1)), jnp.float32)
+    d1 = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (n, 1)), jnp.float32)
+    t1, _, _, p1, ok1, ovf1 = wl_closest(geom_cl, o1, d1, mint, maxt,
+                                         interpret=True)
+    assert bool(ok1[0]) and not bool(ovf1[0])
+    # hit height ~ 1.2 + sqrt(1 - 0.05^2 - 0.1^2) (tessellated: loose tol)
+    np.testing.assert_allclose(float(t1[0]), 5.4 - 2.194, atol=0.05)
+    assert int(p1[0]) >= ff.shape[0]
+    # any-hit agrees on occlusion
+    occ, ovf2 = wl_any(geom_cl, o, d, mint, jnp.full(n, 3.0),
+                       interpret=True)
+    occ_ref = np.asarray(jnp.any(hb & (tb <= 3.0), axis=1))
+    keep2 = ~np.repeat(np.asarray(ovf2), 128)[:n]
+    assert (np.asarray(occ) & ~occ_ref).sum() == 0
+    assert np.array_equal(np.asarray(occ)[keep2], occ_ref[keep2])

@@ -53,5 +53,7 @@ def test_instance_flattening():
  <shape type="instance"><ref id="grp"/>
    <transform name="toWorld"><translate x="-2"/></transform></shape>
 </scene>""")
-    v = np.asarray(scene.geom.v0)
-    assert v[:, 0].max() > 1.4 and v[:, 0].min() < -1.4
+    # spheres are analytic primitives now — instances place two of them
+    assert scene.geom.n_spheres == 2
+    cx = np.asarray(scene.geom.sph_c)[:, 0]
+    assert cx.max() > 1.9 and cx.min() < -1.9
