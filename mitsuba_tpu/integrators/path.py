@@ -96,7 +96,12 @@ def _morton_keys(o, d, bmin, bmax):
         + 2 * (d[:, 1] > 0).astype(jnp.int32)
         + 4 * (d[:, 2] > 0).astype(jnp.int32)
     )
-    return (octant << 30) | morton
+    # octant << 30 overflows int32 (4 << 30 wraps to 0), which aliased
+    # octants 4-7 onto 0-3 and silently mixed d_z signs within rows —
+    # exactly the degenerate-interval case octant-major exists to avoid.
+    # Drop 3 low Morton bits so the key fits 30 bits (the finest Morton
+    # level is far below a 128-lane row's spatial footprint anyway).
+    return (octant << 27) | (morton >> 3)
 
 
 def pixel_morton_perm(w: int, h: int) -> "np.ndarray":
@@ -122,13 +127,25 @@ def pixel_morton_perm(w: int, h: int) -> "np.ndarray":
     return np.argsort(code, kind="stable")
 
 
+def _inverse_perm(order):
+    """Invert a permutation with one scatter (a second argsort would be
+    another full O(n log n) device sort; the scatter is one linear pass)."""
+    n = order.shape[0]
+    return jnp.zeros(n, order.dtype).at[order].set(
+        jnp.arange(n, dtype=order.dtype), unique_indices=True,
+        indices_are_sorted=False)
+
+
 def _sorted_intersect(scene, ray):
     """Sort rays by Morton key, intersect, un-permute the record."""
     bmin = scene.geom.bvh_min[0]
     bmax = scene.geom.bvh_max[0]
     keys = _morton_keys(_detach(ray.o), _detach(ray.d), bmin, bmax)
+    # dead lanes (maxt < mint) sort LAST: they'd otherwise widen live
+    # rows' conservative intervals with stale origins/directions
+    keys = jnp.where(ray.maxt < ray.mint, jnp.int32(0x7FFFFFFF), keys)
     order = jnp.argsort(keys)
-    inv = jnp.argsort(order)
+    inv = _inverse_perm(order)
     ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
     its_s = ray_intersect(scene.geom, ray_s)
     return jax.tree_util.tree_map(lambda x: x[inv], its_s)
@@ -140,8 +157,9 @@ def _sorted_test(scene, ray):
     bmin = scene.geom.bvh_min[0]
     bmax = scene.geom.bvh_max[0]
     keys = _morton_keys(_detach(ray.o), _detach(ray.d), bmin, bmax)
+    keys = jnp.where(ray.maxt < ray.mint, jnp.int32(0x7FFFFFFF), keys)
     order = jnp.argsort(keys)
-    inv = jnp.argsort(order)
+    inv = _inverse_perm(order)
     ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
     return ray_test(scene.geom, ray_s)[inv]
 
@@ -381,11 +399,15 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
 
         throughput = throughput * jnp.where(active[:, None], bs["weight"], 1.0)
         new_ray = Ray.make(its.p, wo_world, mint=eps)
-        # keep dead lanes' rays unchanged (they're masked anyway)
+        # dead lanes: keep o/d (masked anyway) but set maxt=-1 so they
+        # trace NOTHING — a dead lane with maxt=inf still walked the full
+        # scene every remaining bounce, and its stale origin/direction
+        # widened its 128-lane row's conservative cull intervals
         ray = replace(
             new_ray,
             o=jnp.where(active[:, None], new_ray.o, ray.o),
             d=jnp.where(active[:, None], new_ray.d, ray.d),
+            maxt=jnp.where(active, new_ray.maxt, -1.0),
         )
         carry = (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"],
                  depth_count, rays_traced, path_len, pend_ray, pend_contrib,
