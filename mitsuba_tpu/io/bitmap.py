@@ -365,13 +365,17 @@ def read_image(path: str) -> np.ndarray:
         return read_exr(path)
     if p.endswith((".ppm", ".pgm")):
         return read_ppm(path)
-    if p.endswith((".jpg", ".jpeg", ".tga", ".bmp")):
+    if p.endswith(".tga"):
+        return read_tga(path)
+    if p.endswith(".bmp"):
+        return read_bmp(path)
+    if p.endswith((".jpg", ".jpeg")):
         try:
             from PIL import Image
 
             return np.asarray(Image.open(path))
         except ImportError as e:
-            raise ValueError(f"{path}: JPEG/TGA/BMP need PIL") from e
+            raise ValueError(f"{path}: JPEG needs PIL") from e
     raise ValueError(f"unsupported image format: {path}")
 
 
@@ -386,8 +390,153 @@ def write_image(path: str, img) -> None:
         write_exr(path, img)
     elif p.endswith(".ppm"):
         write_ppm(path, img)
+    elif p.endswith(".tga"):
+        write_tga(path, img)
+    elif p.endswith(".bmp"):
+        write_bmp(path, img)
     else:
         raise ValueError(f"unsupported image format: {path}")
+
+
+# ---------------------------------------------------------------------------
+# TGA (reference src/libcore/bitmap.cpp loadTGA/saveTGA: native decoder —
+# truecolor/grayscale, uncompressed + RLE, bottom/top origin)
+# ---------------------------------------------------------------------------
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        return img
+    return np.clip(np.asarray(img, np.float64) * 255.0 + 0.5,
+                   0, 255).astype(np.uint8)
+
+
+def read_tga(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    idlen, cmap_type, img_type = data[0], data[1], data[2]
+    w = int.from_bytes(data[12:14], "little")
+    h = int.from_bytes(data[14:16], "little")
+    bpp = data[16]
+    desc = data[17]
+    if cmap_type != 0:
+        raise ValueError(f"{path}: color-mapped TGA unsupported")
+    if img_type not in (2, 3, 10, 11):
+        raise ValueError(f"{path}: TGA image type {img_type} unsupported")
+    nch = bpp // 8
+    if nch not in (1, 3, 4):
+        raise ValueError(f"{path}: {bpp}-bit TGA unsupported")
+    off = 18 + idlen
+    npix = w * h
+    if img_type >= 10:                      # RLE
+        out = np.empty(npix * nch, np.uint8)
+        buf = np.frombuffer(data, np.uint8, offset=off)
+        pos = 0
+        filled = 0
+        while filled < npix * nch:
+            hdr = int(buf[pos]); pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:                  # run packet
+                px = buf[pos:pos + nch]; pos += nch
+                out[filled:filled + count * nch] = np.tile(px, count)
+            else:                           # raw packet
+                nb = count * nch
+                out[filled:filled + nb] = buf[pos:pos + nb]; pos += nb
+            filled += count * nch
+        img = out.reshape(h, w, nch)
+    else:
+        img = np.frombuffer(data, np.uint8, offset=off,
+                            count=npix * nch).reshape(h, w, nch)
+    if not (desc & 0x20):                   # bottom-left origin
+        img = img[::-1]
+    if nch >= 3:                            # BGR(A) -> RGB(A)
+        img = img[..., [2, 1, 0] + ([3] if nch == 4 else [])]
+    return np.ascontiguousarray(img[..., 0] if nch == 1 else img)
+
+
+def write_tga(path: str, img: np.ndarray) -> None:
+    img = _to_u8(np.asarray(img))
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, nch = img.shape
+    if nch == 1:
+        body, img_type, bpp = img, 3, 8
+    else:
+        if nch not in (3, 4):
+            raise ValueError("TGA write expects 1/3/4 channels")
+        body = img[..., [2, 1, 0] + ([3] if nch == 4 else [])]
+        img_type, bpp = 2, nch * 8
+    hdr = bytearray(18)
+    hdr[2] = img_type
+    hdr[12:14] = w.to_bytes(2, "little")
+    hdr[14:16] = h.to_bytes(2, "little")
+    hdr[16] = bpp
+    hdr[17] = 0x20 | (8 if nch == 4 else 0)     # top-left origin
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(np.ascontiguousarray(body).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# BMP (reference bitmap.cpp loadBMP: BITMAPINFOHEADER, 8/24/32-bit
+# uncompressed)
+# ---------------------------------------------------------------------------
+
+def read_bmp(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] != b"BM":
+        raise ValueError(f"{path}: not a BMP file")
+    pix_off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"{path}: BITMAPCOREHEADER unsupported")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp not in (0, 3):
+        raise ValueError(f"{path}: compressed BMP unsupported")
+    flip = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    if nch not in (1, 3, 4):
+        raise ValueError(f"{path}: {bpp}-bit BMP unsupported")
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, offset=pix_off,
+                         count=stride * h).reshape(h, stride)
+    img = rows[:, : w * nch].reshape(h, w, nch)
+    if flip:
+        img = img[::-1]
+    if nch == 1:                            # palette: assume grayscale ramp
+        return np.ascontiguousarray(img[..., 0])
+    img = img[..., [2, 1, 0] + ([3] if nch == 4 else [])]
+    return np.ascontiguousarray(img)
+
+
+def write_bmp(path: str, img: np.ndarray) -> None:
+    img = _to_u8(np.asarray(img))
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    body = rows.tobytes()
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    hdr[2:6] = (54 + len(body)).to_bytes(4, "little")
+    hdr[10:14] = (54).to_bytes(4, "little")
+    hdr[14:18] = (40).to_bytes(4, "little")
+    hdr[18:22] = w.to_bytes(4, "little")
+    hdr[22:26] = h.to_bytes(4, "little")
+    hdr[26:28] = (1).to_bytes(2, "little")
+    hdr[28:30] = (24).to_bytes(2, "little")
+    hdr[34:38] = len(body).to_bytes(4, "little")
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(body)
 
 
 # ---------------------------------------------------------------------------

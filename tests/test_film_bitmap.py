@@ -102,3 +102,61 @@ def test_mfilm_roundtrip(tmp_path):
     back = bitmap.read_mfilm(p)
     np.testing.assert_allclose(back["pixels"], mean, rtol=1e-5)
     np.testing.assert_allclose(back["variance"], var, rtol=1e-5)
+
+
+def test_tga_roundtrip(tmp_path):
+    img = np.random.default_rng(7).integers(0, 255, (6, 5, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.tga")
+    bitmap.write_tga(p, img)
+    np.testing.assert_array_equal(bitmap.read_tga(p), img)
+    # 4-channel and grayscale
+    rgba = np.random.default_rng(8).integers(0, 255, (4, 3, 4), dtype=np.uint8)
+    bitmap.write_tga(p, rgba)
+    np.testing.assert_array_equal(bitmap.read_tga(p), rgba)
+    gray = np.random.default_rng(9).integers(0, 255, (4, 3), dtype=np.uint8)
+    bitmap.write_tga(p, gray)
+    np.testing.assert_array_equal(bitmap.read_tga(p), gray)
+
+
+def test_tga_rle_and_pil_parity(tmp_path):
+    # hand-build an RLE (type 10) bottom-origin TGA: 2x2 RGB
+    # pixels (BGR in file): run of 2x (1,2,3) then raw 2 pixels
+    px = bytes([3, 2, 1])                       # BGR for RGB(1,2,3)
+    raw = bytes([30, 20, 10, 60, 50, 40])       # RGB(10,20,30), (40,50,60)
+    hdr = bytearray(18)
+    hdr[2] = 10
+    hdr[12:14] = (2).to_bytes(2, "little")
+    hdr[14:16] = (2).to_bytes(2, "little")
+    hdr[16] = 24                                # bottom-left origin
+    p = str(tmp_path / "rle.tga")
+    with open(p, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(bytes([0x81]) + px)             # run packet, count 2
+        f.write(bytes([0x01]) + raw)            # raw packet, count 2
+    img = bitmap.read_tga(p)
+    # bottom row first in file -> flipped to top-origin on read
+    np.testing.assert_array_equal(img[1], [[1, 2, 3], [1, 2, 3]])
+    np.testing.assert_array_equal(img[0], [[10, 20, 30], [40, 50, 60]])
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), img)
+
+
+def test_bmp_roundtrip_and_pil_parity(tmp_path):
+    img = np.random.default_rng(10).integers(0, 255, (5, 7, 3),
+                                             dtype=np.uint8)
+    p = str(tmp_path / "t.bmp")
+    bitmap.write_bmp(p, img)
+    np.testing.assert_array_equal(bitmap.read_bmp(p), img)
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    np.testing.assert_array_equal(np.asarray(Image.open(p).convert("RGB")),
+                                  img)
+    # read a PIL-written BMP (independent encoder)
+    p2 = str(tmp_path / "pil.bmp")
+    Image.fromarray(img).save(p2)
+    np.testing.assert_array_equal(bitmap.read_bmp(p2), img)
