@@ -228,9 +228,43 @@ class RenderClient:
     def __init__(self, host: str = "localhost", port: int = DEFAULT_PORT,
                  timeout: float = 600.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._proc = None
         self._r = self._sock.makefile("rb")
         self._w = self._sock.makefile("wb")
         _handshake_client(self._r, self._w)
+
+    @classmethod
+    def over_pipe(cls, rfile, wfile, proc=None) -> "RenderClient":
+        """Attach to a server speaking the wire protocol over arbitrary
+        streams (the analog of the reference's Stream-polymorphic
+        RemoteWorker: FileStream/SocketStream/SSHStream all carry the
+        same protocol, sshstream.cpp / mtssrv -ls)."""
+        self = cls.__new__(cls)
+        self._sock = None
+        self._proc = proc
+        self._r = rfile
+        self._w = wfile
+        _handshake_client(self._r, self._w)
+        return self
+
+    @classmethod
+    def over_ssh(cls, host: str,
+                 remote_cmd=("python", "-m", "mitsuba_tpu",
+                             "--listen-stdio"),
+                 ssh_cmd=None) -> "RenderClient":
+        """Spawn `ssh host <remote_cmd>` and run the render protocol over
+        its stdio — the reference's SSHStream (sshstream.cpp: batch-mode
+        ssh with the command appended). `host` may be user@host; pass
+        ssh_cmd to override the transport entirely (e.g. for tests:
+        ssh_cmd=() runs remote_cmd locally)."""
+        import subprocess
+
+        if ssh_cmd is None:
+            ssh_cmd = ("ssh", "-oBatchMode=yes", "-x", host)
+        proc = subprocess.Popen(
+            tuple(ssh_cmd) + tuple(remote_cmd),
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+        return cls.over_pipe(proc.stdout, proc.stdin, proc=proc)
 
     def ping(self) -> dict:
         _write_msg(self._w, {"cmd": "ping"})
@@ -260,7 +294,13 @@ class RenderClient:
             _read_msg(self._r)
         except (ConnectionError, OSError):
             pass
-        self._sock.close()
+        if self._sock is not None:
+            self._sock.close()
+        else:
+            self._w.close()
+            self._r.close()
+        if self._proc is not None:
+            self._proc.wait(timeout=30)
 
     def __enter__(self):
         return self

@@ -133,3 +133,54 @@ def test_pipe_mode_matches_tcp():
             f.close()
         except OSError:
             pass
+
+
+def test_ssh_transport_subprocess_pipe(tmp_path):
+    """RenderClient.over_ssh with ssh_cmd=() = the SSHStream wire path
+    (sshstream.cpp) minus the ssh hop: a real subprocess speaking
+    --listen-stdio over its stdio."""
+    import subprocess
+    import sys
+
+    from mitsuba_tpu.parallel.server import RenderClient
+
+    xml = """<scene>
+      <integrator type="path"><integer name="maxDepth" value="2"/></integrator>
+      <camera type="perspective">
+        <transform name="toWorld">
+          <lookAt ox="0" oy="0" oz="-3" tx="0" ty="0" tz="0"
+                  ux="0" uy="1" uz="0"/>
+        </transform>
+        <sampler type="independent">
+          <integer name="sampleCount" value="2"/>
+        </sampler>
+        <film type="exrfilm">
+          <integer name="width" value="16"/>
+          <integer name="height" value="16"/>
+        </film>
+      </camera>
+      <luminaire type="constant"><rgb name="intensity" value="0.5 0.5 0.5"/></luminaire>
+      <shape type="sphere">
+        <point name="center" x="0" y="0" z="0"/>
+        <float name="radius" value="0.4"/>
+        <bsdf type="lambertian"><rgb name="reflectance" value="0.5 0.5 0.5"/></bsdf>
+      </shape>
+    </scene>"""
+    # the spawned server must not grab the test host's accelerator (and
+    # env JAX_PLATFORMS is force-set in some images): pin CPU in-process
+    boot = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from mitsuba_tpu.cli import main; "
+            "raise SystemExit(main(['--listen-stdio']))")
+    cli = RenderClient.over_ssh(
+        "unused", ssh_cmd=(),
+        remote_cmd=(sys.executable, "-c", boot))
+    try:
+        assert cli.ping()["status"] == "ok"
+        img = cli.render(xml, seed=1)
+        assert img.shape == (16, 16, 3)
+        # background pixels see the constant luminaire directly
+        assert abs(float(img[0, 0].mean()) - 0.5) < 1e-3
+        assert float(img.mean()) > 0.2
+    finally:
+        cli.close()
+    assert cli._proc.returncode == 0
