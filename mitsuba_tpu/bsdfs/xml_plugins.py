@@ -215,9 +215,9 @@ def build_texture(tb, tex_node, base_dir="."):
         # linear (non-gamma) EXR bitmap with filterType/wrapMode props —
         # behaves as exrtexture here; EWA filtering is the renderer-wide
         # PathConfig.aniso_filter switch rather than per-texture
-        from mitsuba_tpu.io.bitmap import read_image
+        from mitsuba_tpu.io.bitmap import read_image_cached
 
-        img = read_image(os.path.join(base_dir, p["filename"]))
+        img = read_image_cached(os.path.join(base_dir, p["filename"]))
         gamma = float(p.get("gamma", -1.0)) if t == "ldrtexture" else 1.0
         return tb.bitmap(img, gamma=gamma, wrap=p.get("wrapMode", "repeat"),
                          uv_scale=uv_scale, uv_offset=uv_offset)

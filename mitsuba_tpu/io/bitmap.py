@@ -379,6 +379,24 @@ def read_image(path: str) -> np.ndarray:
     raise ValueError(f"unsupported image format: {path}")
 
 
+_IMAGE_CACHE = None
+
+
+def read_image_cached(path: str) -> np.ndarray:
+    """Read-through LRU over read_image: scenes that reference one
+    texture file from many materials decode it once (the reference keeps
+    a working set the same way for volume bricks, volcache.cpp; textures
+    are this framework's repeated-asset case)."""
+    global _IMAGE_CACHE
+    if _IMAGE_CACHE is None:
+        from mitsuba_tpu.core.lru import LRUCache
+
+        _IMAGE_CACHE = LRUCache(64, loader=lambda p: read_image(p))
+    import os
+
+    return _IMAGE_CACHE.get(os.path.abspath(path))
+
+
 def write_image(path: str, img) -> None:
     img = np.asarray(img)
     p = path.lower()
