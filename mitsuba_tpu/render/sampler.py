@@ -63,6 +63,80 @@ class Sampler:
         return jax.vmap(jax.vmap(lambda k: jax.random.uniform(k, (2,))))(keys)
 
 
+from mitsuba_tpu.core.streams import Serializable as _Serializable
+
+
+class ReplayableSampler(Sampler, _Serializable):
+    """Rewindable sample stream for MLT-style seeding (reference
+    bidir/rsampler.h ReplayableSampler): query the current sample index,
+    later rewind to it and REPLAY the exact same numbers — the
+    reference regenerates the whole MT19937 sequence to rewind
+    (rsampler.h:30 "naive"); counter-based streams rewind in O(1) by
+    resetting the dimension counter."""
+
+    @property
+    def sample_index(self) -> int:
+        """Current position in the stream (rsampler.h getSampleIndex)."""
+        return self._dim
+
+    def set_sample_index(self, index: int) -> None:
+        """Rewind (or fast-forward) to an absolute stream position
+        (rsampler.h setSampleIndex). O(1): every dimension is derived
+        independently from (seed, lane, sample, dim)."""
+        self._dim = int(index)
+
+    def clone(self, seed) -> "ReplayableSampler":
+        """Statistically independent sampler with identical structure
+        (reference Sampler::clone semantics: new seed, same params)."""
+        out = ReplayableSampler.__new__(ReplayableSampler)
+        base = jax.random.key(seed)
+        import jax.numpy as _jnp
+
+        # re-derive per-lane keys from the new seed with the same fold
+        # structure; lane/sample ids are recoverable only through the
+        # original constructor, so keep a reference to ours
+        out._lane_ids = self._lane_ids
+        out._sample_ids = self._sample_ids
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(base, self._lane_ids)
+        out._keys = jax.vmap(jax.random.fold_in)(keys, self._sample_ids)
+        out._seed = seed
+        out._dim = self._dim
+        return out
+
+    def __init__(self, seed, lane_ids, sample_ids, offset: int = 0):
+        super().__init__(seed, lane_ids, sample_ids, offset)
+        self._seed = seed
+        self._lane_ids = lane_ids
+        self._sample_ids = sample_ids
+
+    # --- serialization (reference rsampler.h Stream constructor) ---------
+    def serialize(self, stream, manager) -> None:
+        import numpy as np
+
+        stream.write_i64(int(self._seed))
+        stream.write_i64(self._dim)
+        stream.write_array(np.asarray(self._lane_ids))
+        stream.write_array(np.asarray(self._sample_ids))
+
+    def unserialize_fill(self, stream, manager) -> None:
+        import jax.numpy as _jnp
+
+        seed = stream.read_i64()
+        dim = stream.read_i64()
+        lane_ids = _jnp.asarray(stream.read_array())
+        sample_ids = _jnp.asarray(stream.read_array())
+        self.__init__(seed, lane_ids, sample_ids, offset=dim)
+
+
+def _register_replayable():
+    from mitsuba_tpu.core.streams import register_serializable
+
+    register_serializable(ReplayableSampler)
+
+
+_register_replayable()
+
+
 # ---------------------------------------------------------------------------
 # Pixel-sample position patterns (the reference's sampler plugins)
 # ---------------------------------------------------------------------------
