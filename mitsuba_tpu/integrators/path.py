@@ -54,6 +54,9 @@ class PathConfig:
     rfilter: str = "box"        # reconstruction filter (render/rfilter.py)
     sort_rays: bool = False     # Morton-sort rays per bounce (packet-BVH
                                 # coherence for large scenes)
+    sort_mode: str = "full"     # 'full' octant-major Morton argsort |
+                                # 'octant' stable linear counting-sort
+                                # (lanes already arrive pixel-Morton)
     mip_filter: bool = False    # ray-cone texture lod (needs
                                 # SceneBuilder(build_mips=True) pyramids)
     aniso_filter: bool = False  # EWA anisotropic filtering in the render
@@ -136,30 +139,64 @@ def _inverse_perm(order):
         indices_are_sorted=False)
 
 
-def _sorted_intersect(scene, ray):
-    """Sort rays by Morton key, intersect, un-permute the record."""
+def _octant_partition(keys):
+    """Stable counting-sort permutation over small keys (octant 0-7 +
+    dead bucket 8). Lanes arrive in pixel-Morton camera order and hit
+    points inherit that spatial coherence, so partitioning bounce rays
+    by direction octant alone (keeping the stable spatial order within
+    each bucket) approximates the full octant-major Morton re-sort at
+    the cost of a few linear passes instead of an O(n log n) device
+    sort."""
+    nb = 9
+    onehot = (keys[:, None] == jnp.arange(nb, dtype=keys.dtype)[None, :])
+    counts = jnp.sum(onehot, axis=0)
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1
+    pos = offsets[keys] + jnp.take_along_axis(
+        rank, keys[:, None].astype(jnp.int32), axis=1)[:, 0]
+    n = keys.shape[0]
+    order = jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    return order, pos
+
+
+def _bounce_order(ray, bmin, bmax, mode: str):
+    """Per-bounce ray ordering: 'full' = octant-major Morton argsort,
+    'octant' = stable octant counting-sort (linear). Returns
+    (order, inv)."""
+    d = _detach(ray.d)
+    dead = ray.maxt < ray.mint
+    if mode == "octant":
+        oct_ = ((d[:, 0] > 0).astype(jnp.int32)
+                + 2 * (d[:, 1] > 0).astype(jnp.int32)
+                + 4 * (d[:, 2] > 0).astype(jnp.int32))
+        keys = jnp.where(dead, 8, oct_)
+        return _octant_partition(keys)
+    keys = _morton_keys(_detach(ray.o), d, bmin, bmax)
+    keys = jnp.where(dead, jnp.int32(0x7FFFFFFF), keys)
+    order = jnp.argsort(keys)
+    return order, _inverse_perm(order)
+
+
+def _sorted_intersect(scene, ray, mode: str = "full"):
+    """Sort rays (dead lanes last — they'd otherwise widen live rows'
+    conservative intervals with stale origins/directions), intersect,
+    un-permute the record."""
     bmin = scene.geom.bvh_min[0]
     bmax = scene.geom.bvh_max[0]
-    keys = _morton_keys(_detach(ray.o), _detach(ray.d), bmin, bmax)
-    # dead lanes (maxt < mint) sort LAST: they'd otherwise widen live
-    # rows' conservative intervals with stale origins/directions
-    keys = jnp.where(ray.maxt < ray.mint, jnp.int32(0x7FFFFFFF), keys)
-    order = jnp.argsort(keys)
-    inv = _inverse_perm(order)
+    order, inv = _bounce_order(ray, bmin, bmax, mode)
     ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
     its_s = ray_intersect(scene.geom, ray_s)
     return jax.tree_util.tree_map(lambda x: x[inv], its_s)
 
 
-def _sorted_test(scene, ray):
-    """Morton-sorted shadow-ray occlusion query (tile coherence for the
+def _sorted_test(scene, ray, mode: str = "full"):
+    """Sorted shadow-ray occlusion query (tile coherence for the
     streaming cluster kernel)."""
     bmin = scene.geom.bvh_min[0]
     bmax = scene.geom.bvh_max[0]
-    keys = _morton_keys(_detach(ray.o), _detach(ray.d), bmin, bmax)
-    keys = jnp.where(ray.maxt < ray.mint, jnp.int32(0x7FFFFFFF), keys)
-    order = jnp.argsort(keys)
-    inv = _inverse_perm(order)
+    order, inv = _bounce_order(ray, bmin, bmax, mode)
     ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
     return ray_test(scene.geom, ray_s)[inv]
 
@@ -274,8 +311,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32)) \
             + jnp.sum(pend_ok.astype(jnp.float32))
         if cfg.sort_rays:
-            its = _sorted_intersect(scene, ray)
-            s_occ = _sorted_test(scene, pend_ray)
+            its = _sorted_intersect(scene, ray, cfg.sort_mode)
+            s_occ = _sorted_test(scene, pend_ray, cfg.sort_mode)
         else:
             its, s_occ = ray_intersect_and_test(scene.geom, ray, pend_ray)
         # resolve the previous bounce's NEE shadow ray

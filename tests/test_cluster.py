@@ -308,3 +308,17 @@ def test_instanced_worklist_matches_flattened():
     keep2 = ~np.repeat(np.asarray(ovf2), 128)[:n]
     assert (np.asarray(occ) & ~occ_ref).sum() == 0
     assert np.array_equal(np.asarray(occ)[keep2], occ_ref[keep2])
+
+
+def test_octant_sort_mode_matches_full(cluster_scene=None):
+    """'octant' linear counting-sort ordering must not change radiance
+    (ordering is a perf knob; every lane resolves exactly either way)."""
+    import numpy as np
+
+    from mitsuba_tpu.integrators import PathConfig, render
+    from mitsuba_tpu.render.scene import cornell_box_specular
+
+    scene = cornell_box_specular(32, 32, backend="auto")
+    a, _ = render(scene, PathConfig(max_depth=3, spp=2, sort_mode="full"))
+    b, _ = render(scene, PathConfig(max_depth=3, spp=2, sort_mode="octant"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
