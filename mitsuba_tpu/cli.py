@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--listen-stdio", action="store_true",
                     help="serve one session over stdin/stdout "
                          "(mtssrv -ls SSH-tunnel mode)")
+    ap.add_argument("--gui", action="store_true",
+                    help="interactive progressive preview in the browser "
+                         "(mtsgui analog; headless HTTP viewport)")
+    ap.add_argument("--gui-port", type=int, default=8555)
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("-D", "--define", action="append", default=[],
                     metavar="KEY=VALUE")
@@ -113,6 +117,15 @@ def main(argv=None):
             remat=False,
             rfilter=args.rfilter or cfg.get("rfilter", "box"),
         )
+        if args.gui:
+            from mitsuba_tpu.gui import serve
+
+            httpd, _session, _t = serve(scene, pcfg, port=args.gui_port)
+            try:
+                httpd.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            return 0
         if not args.quiet:
             print(
                 f"rendering {scene_path}: {scene.width}x{scene.height} "

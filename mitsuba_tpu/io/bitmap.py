@@ -43,11 +43,16 @@ def write_png(path: str, img: np.ndarray) -> None:
     raw = img.astype(">u2" if depth == 16 else "u1").tobytes()
     stride = w * c * (depth // 8)
     lines = [b"\x00" + raw[y * stride : (y + 1) * stride] for y in range(h)]
-    with open(path, "wb") as f:
-        f.write(_PNG_SIG)
-        f.write(_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)))
-        f.write(_chunk(b"IDAT", zlib.compress(b"".join(lines), 6)))
-        f.write(_chunk(b"IEND", b""))
+    body = (_PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                          color_type, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+            + _chunk(b"IEND", b""))
+    if hasattr(path, "write"):          # file-like (in-memory encoders)
+        path.write(body)
+    else:
+        with open(path, "wb") as f:
+            f.write(body)
 
 
 def _unfilter(data, h, stride, bpp):
