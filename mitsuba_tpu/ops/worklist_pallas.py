@@ -52,6 +52,15 @@ LANES = 128
 _BIG = 3e38
 _DET_EPS = 1e-12
 
+# default cull-beam sizing for render-path calls (render/intersect.py).
+# Wider beams cost more build-time slab tests + sorts but push fewer rows
+# into overflow (whose lanes re-resolve through the slow XLA walk) —
+# env-overridable so TPU sweeps don't need code edits.
+import os as _os
+
+DEFAULT_W_FACTOR = int(_os.environ.get("MTS_WL_W_FACTOR", "16"))
+DEFAULT_L_SC = int(_os.environ.get("MTS_WL_L_SC", "24"))
+
 # packed work-item layout (int32): [0:14] cid, [14] first, [15] valid,
 # [16:31] row
 _CID_BITS = 14

@@ -752,7 +752,8 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
         from mitsuba_tpu.ops import worklist_pallas as wp
 
         t, u, v, prim, valid, ovf = wp.wl_closest(
-            geom.wl_tables, ray.o, ray.d, ray.mint, ray.maxt)
+            geom.wl_tables, ray.o, ray.d, ray.mint, ray.maxt,
+            w_factor=wp.DEFAULT_W_FACTOR, l_sc=wp.DEFAULT_L_SC)
         # rows that overflowed a cull beam carry a lower bound only:
         # re-resolve those lanes through the XLA packed-row walk (rays in
         # non-overflow rows get mint>maxt -> their walk exits immediately)
@@ -940,7 +941,8 @@ def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
         from mitsuba_tpu.ops import worklist_pallas as wp
 
         occ, ovf = wp.wl_any(
-            geom.wl_tables, ray.o, ray.d, ray.mint, ray.maxt)
+            geom.wl_tables, ray.o, ray.d, ray.mint, ray.maxt,
+            w_factor=wp.DEFAULT_W_FACTOR, l_sc=wp.DEFAULT_L_SC)
         lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
             ray.mint <= ray.maxt) & ~occ
         fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
