@@ -375,12 +375,17 @@ def read_image(path: str) -> np.ndarray:
     if p.endswith(".bmp"):
         return read_bmp(path)
     if p.endswith((".jpg", ".jpeg")):
-        try:
-            from PIL import Image
+        from mitsuba_tpu.io.jpeg import read_jpeg
 
+        try:
+            return read_jpeg(path)
+        except ValueError:
+            # progressive/arithmetic files: punt to PIL when present
+            try:
+                from PIL import Image
+            except ImportError:
+                raise
             return np.asarray(Image.open(path))
-        except ImportError as e:
-            raise ValueError(f"{path}: JPEG needs PIL") from e
     raise ValueError(f"unsupported image format: {path}")
 
 
@@ -417,6 +422,10 @@ def write_image(path: str, img) -> None:
         write_tga(path, img)
     elif p.endswith(".bmp"):
         write_bmp(path, img)
+    elif p.endswith((".jpg", ".jpeg")):
+        from mitsuba_tpu.io.jpeg import write_jpeg
+
+        write_jpeg(path, img)
     else:
         raise ValueError(f"unsupported image format: {path}")
 
