@@ -95,3 +95,52 @@ def test_grad_matches_fd_medium_sigma(field, base):
     ad = np.mean([float(g(base, s)) for s in seeds])
     assert np.isfinite(ad) and np.isfinite(fd)
     assert abs(ad - fd) / max(abs(fd), 1e-6) < 0.08, (field, ad, fd)
+
+
+def test_grad_matches_fd_texture_bitmap():
+    """FD gate for bitmap texel values (inverse-texture recovery is the
+    flagship differentiable-rendering use; texture eval is bilinear ->
+    piecewise-linear in texel values, so seed-matched central
+    differences are exact up to float precision)."""
+    from mitsuba_tpu.render import mesh as mesh_mod
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.render.camera import make_perspective
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    b = SceneBuilder()
+    img0 = jnp.asarray(np.random.default_rng(3).uniform(
+        0.2, 0.8, (4, 4, 3)).astype(np.float32))
+    tid = b.textures.bitmap(img0, gamma=1.0)
+    mat = b.materials.lambertian((1.0, 1.0, 1.0), tex_id=tid)
+    # wind so the normal faces -z (toward camera and light)
+    b.add_shape(mesh_mod.make_quad([-1, 1, 0], [1, 1, 0], [1, -1, 0],
+                                   [-1, -1, 0]), mat)
+    lm = b.materials.lambertian((0.0, 0.0, 0.0))
+    # wind the light so its normal faces +z (toward the textured quad)
+    b.add_area_emitter_shape(
+        mesh_mod.make_quad([-1, -1, -3], [1, -1, -3], [1, 1, -3],
+                           [-1, 1, -3]),
+        lm, (8.0,) * 3)
+    cam = make_perspective(tf.look_at([0, 0, -2.5], [0, 0, 0], [0, 1, 0]),
+                           45, 1.0)
+    b.set_camera(cam, 12, 12)
+    scene = b.build()
+    cfg = PathConfig(max_depth=2, spp=4, remat=False)
+
+    def loss(img_tex):
+        tex = scene.textures
+        sc = replace(scene, textures=replace(
+            tex, images=(img_tex,) + tex.images[1:]))
+        out, _ = render(sc, cfg, seed=5)
+        return jnp.mean(out)
+
+    g = np.asarray(jax.grad(loss)(img0))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+    eps = 1e-2
+    for idx in [(1, 1, 0), (2, 3, 1), (0, 0, 2)]:
+        e = jnp.zeros_like(img0).at[idx].set(1.0)
+        fd = (float(loss(img0 + eps * e)) - float(loss(img0 - eps * e))) \
+            / (2 * eps)
+        an = float(g[idx])
+        denom = max(abs(fd), abs(an), 1e-6)
+        assert abs(fd - an) / denom < 1e-3, (idx, fd, an)
