@@ -116,9 +116,20 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
             scene.emitters, scene.geom, p_scatter,
             _detach(u_nee_sel), _detach(u_nee_pos),
         )
-        # medium side: phase value
-        ph_val = phase_eval(medium.phase_kind, medium.phase_g, ray.d, ds.d)
-        ph_pdf = phase_pdf(medium.phase_kind, medium.phase_g, ray.d, ds.d) if mis \
+        # medium side: phase value (oriented media fetch the local fiber
+        # axis; gaussian-flake media also need the fitted σ_t expansion)
+        if medium.oriented or medium.flake_coeffs is not None:
+            from mitsuba_tpu.media.medium import lookup_orientation
+
+            ph_axis = lookup_orientation(medium, p_scatter)
+        else:
+            ph_axis = None
+        ph_val = phase_eval(medium.phase_kind, medium.phase_g, ray.d, ds.d,
+                            fiber_axis=ph_axis,
+                            flake_coeffs=medium.flake_coeffs)
+        ph_pdf = phase_pdf(medium.phase_kind, medium.phase_g, ray.d, ds.d,
+                           fiber_axis=ph_axis,
+                           flake_coeffs=medium.flake_coeffs) if mis \
             else jnp.zeros(n)
         # surface side: BSDF value
         wo_local = its.to_local(ds.d)
@@ -141,7 +152,8 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
 
         # --- scatter: phase sample (medium) / BSDF sample (surface) -----
         wo_phase, phase_p = phase_sample(
-            medium.phase_kind, medium.phase_g, ray.d, _detach(u_scatter)
+            medium.phase_kind, medium.phase_g, ray.d, _detach(u_scatter),
+            fiber_axis=ph_axis, flake_coeffs=medium.flake_coeffs,
         )
         bs = bsdf_sample(
             scene.materials, its.material_id, its.wi,
@@ -152,7 +164,11 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
         )
         next_pdf = jnp.where(in_medium, phase_p if mis else jnp.zeros(n), bs["pdf"])
         next_delta = jnp.where(in_medium, jnp.zeros(n, bool) if mis else jnp.ones(n, bool), bs["delta"])
-        scatter_ok = jnp.where(in_medium, True, bs["valid"])
+        from mitsuba_tpu.media.phase import MICROFLAKE_GAUSS as _MFG
+
+        med_ok = (phase_p > 0) if medium.phase_kind == _MFG \
+            else jnp.ones(n, bool)
+        scatter_ok = jnp.where(in_medium, med_ok, bs["valid"])
         active = (cont_m | cont_s) & scatter_ok
 
         new_thr = jnp.where(

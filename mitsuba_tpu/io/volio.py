@@ -82,12 +82,19 @@ def grid_world_to_index_transform(bbox_min, bbox_max, shape_zyx):
 
 
 def load_heterogeneous_from_vol(path: str, sigma_s, sigma_a,
-                                density_scale: float = 1.0, g: float = 0.0):
-    """Convenience: build a heterogeneous MediumTable from a .vol density."""
+                                density_scale: float = 1.0, g: float = 0.0,
+                                orientation=None, flake_stddev=None,
+                                phase_kind=None):
+    """Convenience: build a heterogeneous MediumTable from a .vol density
+    (+ optional orientation field / gaussian flake phase — the reference
+    heterogeneous.cpp density+orientation volume pair)."""
     from mitsuba_tpu.media import make_heterogeneous
 
     data, bmin, bmax = load_vol(path)
     density = data[..., 0]
     w2g = grid_world_to_index_transform(bmin, bmax, density.shape)
     return make_heterogeneous(density, w2g, sigma_s, sigma_a,
-                              density_scale=density_scale, g=g)
+                              density_scale=density_scale, g=g,
+                              orientation=orientation,
+                              flake_stddev=flake_stddev,
+                              phase_kind=phase_kind)

@@ -343,6 +343,7 @@ def _build_medium(node, base_dir):
         sigma_a = spec("sigmaA", 0.1)
     g = 0.0
     phase_kind = None
+    flake_stddev = None
     for c in node["children"]:
         if c["category"] == "phase":
             t = c["type"]
@@ -354,20 +355,42 @@ def _build_medium(node, base_dir):
             elif t == "kkay":
                 phase_kind = KAJIYA_KAY
             elif t == "microflake":
-                phase_kind = MICROFLAKE
+                # reference microflake.cpp takes a gaussian fiber stddev;
+                # without one we keep the legacy sin²-lobe approximation
+                if "stddev" in c["props"]:
+                    flake_stddev = float(c["props"]["stddev"])
+                else:
+                    phase_kind = MICROFLAKE
     if node["type"] == "heterogeneous":
         from mitsuba_tpu.io.volio import load_heterogeneous_from_vol
 
         vol = None
+        orient_vol = None
         for c in node["children"]:
             if c["category"] == "volume" and c.get("name") in ("density", None):
                 vol = c
+            elif c["category"] == "volume" and c.get("name") in (
+                    "orientation", "orientations"):
+                orient_vol = c
         if vol is None or "filename" not in vol["props"]:
             raise SceneParseError("heterogeneous medium needs a gridvolume density")
+        orientation = None
+        if orient_vol is not None:
+            from mitsuba_tpu.io.volio import load_vol
+
+            ogrid, _bmin, _bmax = load_vol(
+                os.path.join(base_dir, orient_vol["props"]["filename"]))
+            if ogrid.shape[-1] != 3:
+                raise SceneParseError(
+                    "orientation volume must have 3 channels")
+            orientation = ogrid
         return load_heterogeneous_from_vol(
             os.path.join(base_dir, vol["props"]["filename"]),
             sigma_s, sigma_a,
             density_scale=float(p.get("densityMultiplier", 1.0)), g=g,
+            orientation=orientation, flake_stddev=flake_stddev,
+            phase_kind=phase_kind,
         )
-    med = make_homogeneous(sigma_s, sigma_a, g=g, phase_kind=phase_kind)
+    med = make_homogeneous(sigma_s, sigma_a, g=g, phase_kind=phase_kind,
+                           flake_stddev=flake_stddev)
     return med

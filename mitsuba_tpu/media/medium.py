@@ -26,11 +26,16 @@ HOMOGENEOUS, HETEROGENEOUS = 0, 1
 class MediumTable:
     sigma_s: jnp.ndarray        # (3,) scattering coefficient
     sigma_a: jnp.ndarray        # (3,) absorption
-    phase_g: jnp.ndarray        # () HG anisotropy
+    phase_g: jnp.ndarray        # () HG anisotropy / gaussian-flake stddev
     density: jnp.ndarray        # (D, H, W) density grid (hetero) or (1,1,1)
     world_to_grid: jnp.ndarray  # (4, 4)
     density_scale: jnp.ndarray  # ()
     max_density: jnp.ndarray    # () Woodcock majorant
+    # oriented media (reference heterogeneous.cpp orientation volume +
+    # microflake sigmaDir): fiber directions per cell, and the fitted
+    # sin-power σ_t expansion of the gaussian flake distribution
+    orientation: jnp.ndarray = None  # (D,H,W,3) grid or (1,1,1,3) const
+    flake_coeffs: jnp.ndarray = None  # (10,) fit_fiber_sigma_t output
     kind: int = static_field(default=HOMOGENEOUS)
     phase_kind: int = static_field(default=ISOTROPIC)
     enabled: bool = static_field(default=False)
@@ -38,6 +43,10 @@ class MediumTable:
     @property
     def sigma_t(self):
         return self.sigma_s + self.sigma_a
+
+    @property
+    def oriented(self):
+        return self.orientation is not None
 
 
 def no_medium() -> MediumTable:
@@ -51,39 +60,149 @@ def no_medium() -> MediumTable:
 
 
 def make_homogeneous(sigma_s, sigma_a, g: float = 0.0,
-                     phase_kind: int = None) -> MediumTable:
+                     phase_kind: int = None,
+                     flake_stddev: float = None,
+                     orientation=None) -> MediumTable:
     pk = HG if (phase_kind is None and g != 0.0) else (
         phase_kind if phase_kind is not None else ISOTROPIC
     )
+    geff = g
+    flake_coeffs = None
+    if flake_stddev is not None:
+        from mitsuba_tpu.media.phase import (
+            MICROFLAKE_GAUSS, fit_fiber_sigma_t,
+        )
+
+        pk = MICROFLAKE_GAUSS
+        geff = float(flake_stddev)
+        coeffs, _err = fit_fiber_sigma_t(float(flake_stddev))
+        flake_coeffs = jnp.asarray(coeffs)
+    orient = None
+    if orientation is not None:
+        import numpy as _np
+
+        o = _np.asarray(orientation, _np.float32).reshape(1, 1, 1, 3)
+        orient = jnp.asarray(o / max(float(_np.linalg.norm(o)), 1e-20))
     return MediumTable(
         sigma_s=jnp.asarray(sigma_s, jnp.float32),
         sigma_a=jnp.asarray(sigma_a, jnp.float32),
-        phase_g=jnp.asarray(g, jnp.float32),
+        phase_g=jnp.asarray(geff, jnp.float32),
         density=jnp.ones((1, 1, 1)),
         world_to_grid=jnp.eye(4),
         density_scale=jnp.ones(()),
         max_density=jnp.ones(()),
+        orientation=orient,
+        flake_coeffs=flake_coeffs,
         kind=HOMOGENEOUS, phase_kind=pk, enabled=True,
     )
 
 
 def make_heterogeneous(density_grid, world_to_grid, sigma_s, sigma_a,
-                       density_scale: float = 1.0, g: float = 0.0) -> MediumTable:
+                       density_scale: float = 1.0, g: float = 0.0,
+                       orientation=None, flake_stddev: float = None,
+                       phase_kind: int = None) -> MediumTable:
     """density_grid: (D, H, W) densities; world_to_grid maps world points to
-    grid index space [0,D)x[0,H)x[0,W) (z,y,x order)."""
+    grid index space [0,D)x[0,H)x[0,W) (z,y,x order).
+
+    orientation: optional fiber-direction field — (3,) constant axis or
+    (D,H,W,3) grid (reference heterogeneous.cpp orientation volume).
+    flake_stddev: gaussian microflake stddev; sets MICROFLAKE_GAUSS phase
+    with directionally-varying extinction sigmaDir = 2 σ_t(cosθ)
+    (microflake.cpp:155)."""
     grid = jnp.asarray(density_grid, jnp.float32)
+    pk = phase_kind
+    flake_coeffs = None
+    geff = g
+    if flake_stddev is not None:
+        from mitsuba_tpu.media.phase import (
+            MICROFLAKE_GAUSS, fit_fiber_sigma_t,
+        )
+
+        pk = MICROFLAKE_GAUSS
+        geff = float(flake_stddev)
+        coeffs, _err = fit_fiber_sigma_t(float(flake_stddev))
+        flake_coeffs = jnp.asarray(coeffs)
+    if pk is None:
+        pk = HG if g != 0.0 else ISOTROPIC
+    orient = None
+    if orientation is not None:
+        import numpy as _np
+
+        o = _np.asarray(orientation, _np.float32)
+        if o.ndim == 1:
+            o = o.reshape(1, 1, 1, 3)
+        n = _np.linalg.norm(o, axis=-1, keepdims=True)
+        orient = jnp.asarray(o / _np.maximum(n, 1e-20))
+    # directional majorant: sigmaDir peaks at cosθ=0 (sinθ=1), where the
+    # sin-power expansion sums its coefficients
+    dir_max = 1.0 if flake_coeffs is None else \
+        2.0 * float(jnp.sum(flake_coeffs))
     return MediumTable(
         sigma_s=jnp.asarray(sigma_s, jnp.float32),
         sigma_a=jnp.asarray(sigma_a, jnp.float32),
-        phase_g=jnp.asarray(g, jnp.float32),
+        phase_g=jnp.asarray(geff, jnp.float32),
         density=grid,
         world_to_grid=jnp.asarray(world_to_grid, jnp.float32),
         density_scale=jnp.asarray(density_scale, jnp.float32),
-        max_density=jnp.max(grid) * density_scale,
+        max_density=jnp.max(grid) * density_scale * dir_max,
+        orientation=orient,
+        flake_coeffs=flake_coeffs,
         kind=HETEROGENEOUS,
-        phase_kind=HG if g != 0.0 else ISOTROPIC,
+        phase_kind=pk,
         enabled=True,
     )
+
+
+def lookup_orientation(med: MediumTable, p):
+    """Fiber axis at world points p (N,3): trilinear-interpolated and
+    renormalized (reference volume.h lookupVector). Falls back to +z
+    where the field is degenerate or absent."""
+    zaxis = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), p.shape)
+    if med.orientation is None:
+        return zaxis
+    if med.orientation.shape[:3] == (1, 1, 1):
+        return jnp.broadcast_to(med.orientation[0, 0, 0], p.shape)
+    from mitsuba_tpu.core import transform as tf
+
+    g = tf.apply_point(med.world_to_grid, p)
+    d, h, w, _ = med.orientation.shape
+    x = jnp.clip(g[..., 0], 0.0, w - 1.0)
+    y = jnp.clip(g[..., 1], 0.0, h - 1.0)
+    z = jnp.clip(g[..., 2], 0.0, d - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(w - 2, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(h - 2, 0))
+    z0 = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, max(d - 2, 0))
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fz = (z - z0)[..., None]
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    z1 = jnp.minimum(z0 + 1, d - 1)
+    oo = med.orientation
+    v = (oo[z0, y0, x0] * (1 - fx) * (1 - fy) * (1 - fz)
+         + oo[z0, y0, x1] * fx * (1 - fy) * (1 - fz)
+         + oo[z0, y1, x0] * (1 - fx) * fy * (1 - fz)
+         + oo[z0, y1, x1] * fx * fy * (1 - fz)
+         + oo[z1, y0, x0] * (1 - fx) * (1 - fy) * fz
+         + oo[z1, y0, x1] * fx * (1 - fy) * fz
+         + oo[z1, y1, x0] * (1 - fx) * fy * fz
+         + oo[z1, y1, x1] * fx * fy * fz)
+    ln = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return jnp.where(ln > 1e-6, v / jnp.maximum(ln, 1e-20), zaxis)
+
+
+def sigma_dir_factor(med: MediumTable, d, p):
+    """Directionally-varying extinction factor sigmaDir(cos(d, axis)) =
+    2 σ_t(cosθ) for gaussian-flake media, 1 otherwise (reference
+    microflake.cpp:152 sigmaDir; 'scaled such that replacing an isotropic
+    phase with an isotropic microflake causes no changes')."""
+    if med.flake_coeffs is None:
+        return jnp.ones(p.shape[:-1])
+    from mitsuba_tpu.media.phase import gauss_fiber_sigma_t
+
+    axis = lookup_orientation(med, p)
+    cos_t = jnp.sum(d * axis, axis=-1)
+    return 2.0 * gauss_fiber_sigma_t(cos_t, med.flake_coeffs)
 
 
 def lookup_density(med: MediumTable, p):
@@ -135,10 +254,16 @@ def medium_transmittance(med: MediumTable, o, d, dist, u=None, n_steps: int = 32
     if med.kind == HOMOGENEOUS:
         return jnp.exp(-med.sigma_t[None, :] * dist[..., None])
     # heterogeneous: composite midpoint ray marching of optical depth
-    # (reference heterogeneous.cpp ray marching branch)
+    # (reference heterogeneous.cpp ray marching branch); oriented flake
+    # media scale local extinction by sigmaDir(cos(d, axis(x)))
     ts = (jnp.arange(n_steps) + 0.5) / n_steps     # (S,)
     pts = o[:, None, :] + d[:, None, :] * (dist[:, None] * ts[None, :])[..., None]
-    rho = lookup_density(med, pts.reshape(-1, 3)).reshape(o.shape[0], n_steps)
+    flat = pts.reshape(-1, 3)
+    rho = lookup_density(med, flat)
+    if med.flake_coeffs is not None:
+        dd = jnp.repeat(d, n_steps, axis=0)
+        rho = rho * sigma_dir_factor(med, dd, flat)
+    rho = rho.reshape(o.shape[0], n_steps)
     tau = rho.sum(axis=1) * (dist / n_steps)
     return jnp.exp(-med.sigma_t[None, :] * tau[..., None])
 
@@ -188,7 +313,8 @@ def sample_distance(med: MediumTable, o, d, max_dist, u_channel, u_dist,
         )
     # ---- heterogeneous: Woodcock / delta tracking (heterogeneous.cpp:317)
     assert key is not None, "woodcock tracking needs a PRNG key"
-    # majorant: max channel extinction × max grid density (already scaled)
+    # majorant: max channel extinction × max grid density (already scaled;
+    # for oriented flake media max_density includes the sigmaDir peak)
     sig_m = jnp.maximum(jnp.max(sigma_t) * med.max_density, 1e-6)
 
     def body(i, state):
@@ -199,6 +325,8 @@ def sample_distance(med: MediumTable, o, d, max_dist, u_channel, u_dist,
         escaped = t_new >= max_dist
         p = o + d * jnp.minimum(t_new, max_dist)[:, None]
         rho = lookup_density(med, p)   # includes density_scale
+        if med.flake_coeffs is not None:
+            rho = rho * sigma_dir_factor(med, d, p)
         real = jax.random.uniform(k2, (n,)) < (rho * jnp.max(sigma_t) / sig_m)
         newly_escaped = ~done & escaped
         newly_real = ~done & ~escaped & real

@@ -166,6 +166,43 @@ _TOOLS = {
 }
 
 
+def _cmd_uflakefit(argv):
+    """Fit σ_t of the gaussian microflake distribution as a sin-power
+    series (reference src/utils/uflakefit.cpp, which produced the
+    fiberSigmaTCoeffs table in microflake_fiber.h). Here the fit runs
+    per-stddev at scene build, so this tool mainly reports/exports."""
+    ap = argparse.ArgumentParser(prog="mtsutil uflakefit")
+    ap.add_argument("stddev", type=float, nargs="?", default=None,
+                    help="single stddev to fit (prints coefficients)")
+    ap.add_argument("--table", type=int, default=0, metavar="N",
+                    help="emit an N-row table over stddev in (0, 4] with "
+                         "the reference's quartic row mapping")
+    ap.add_argument("--coeffs", type=int, default=10)
+    a = ap.parse_args(argv)
+    from mitsuba_tpu.media.phase import fit_fiber_sigma_t
+
+    if a.table:
+        print(f"# {a.table} rows x {a.coeffs} coeffs; row i -> stddev = "
+              f"4*((i+1)/{a.table})^4")
+        worst = 0.0
+        for i in range(a.table):
+            sd = 4.0 * ((i + 1) / a.table) ** 4
+            c, err = fit_fiber_sigma_t(sd, n_coeffs=a.coeffs)
+            worst = max(worst, err)
+            print(" ".join(f"{v:.10e}" for v in c))
+        print(f"# max fit error {worst:.3e}")
+        return 0
+    if a.stddev is None:
+        ap.error("need a stddev or --table N")
+    c, err = fit_fiber_sigma_t(a.stddev, n_coeffs=a.coeffs)
+    print("coeffs:", " ".join(f"{v:.8e}" for v in c))
+    print(f"max fit error: {err:.3e}")
+    return 0
+
+
+_TOOLS["uflakefit"] = _cmd_uflakefit
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
