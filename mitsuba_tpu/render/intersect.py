@@ -716,6 +716,14 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _overflow_fb() -> str:
+    """Cluster-backend overflow fallback: 'xla' packed-row walk (default)
+    or 'pallas' packet-BVH kernel (env MTS_OVERFLOW_FB, A/B on hardware)."""
+    import os
+
+    return os.environ.get("MTS_OVERFLOW_FB", "xla")
+
+
 def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
     """Triangle-only closest-hit query → full Intersection record
     (reference skdtree.h:352 fillIntersectionRecord equivalent)."""
@@ -760,7 +768,18 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
         lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
             ray.mint <= ray.maxt)
         fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
-        tf_, uf, vf, pf, okf = _closest_bvh(geom, fb_ray)
+        if _overflow_fb() == "pallas":
+            # packet-BVH kernel fallback: cheaper when many rows overflow
+            # (bounce wavefronts); the XLA walk exits in one iteration
+            # when almost nothing overflowed (camera wavefronts)
+            from mitsuba_tpu.ops import bvh_pallas as bp
+
+            tf_, uf, vf, pf, okf = bp.bvh_closest(
+                geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
+                fb_ray.mint, fb_ray.maxt, n_nodes=geom.bvh_min.shape[0],
+                n_tris=geom.n_tris)
+        else:
+            tf_, uf, vf, pf, okf = _closest_bvh(geom, fb_ray)
         if geom.has_instances:
             # the static walk doesn't see instances: extend the fallback
             # with the exact per-instance walks (virtual prim ids)
@@ -946,7 +965,15 @@ def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
         lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
             ray.mint <= ray.maxt) & ~occ
         fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
-        fb = _any_bvh(geom, fb_ray)
+        if _overflow_fb() == "pallas":
+            from mitsuba_tpu.ops import bvh_pallas as bp
+
+            fb = bp.bvh_any(
+                geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
+                fb_ray.mint, fb_ray.maxt, n_nodes=geom.bvh_min.shape[0],
+                n_tris=geom.n_tris)
+        else:
+            fb = _any_bvh(geom, fb_ray)
         if geom.has_instances:
             fb = fb | _instances_any(geom, fb_ray)
         return occ | (fb & lane_ovf)
