@@ -83,10 +83,43 @@ def scene_cornell():
     return cornell_box(RES, RES), 4
 
 
+def scene_instanced_cluster():
+    """TRUE instancing on the work-list cluster backend: three instances
+    of one sphere-mesh group over a checker floor (gates the shared
+    object-space tables + per-instance transforms end to end)."""
+    from mitsuba_tpu.render import mesh as mesh_mod
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    b = SceneBuilder()
+    tex = b.textures.checkerboard(bright=(0.6, 0.6, 0.6),
+                                  dark=(0.2, 0.2, 0.25),
+                                  uv_scale=(6.0, 6.0))
+    floor_m = b.materials.lambertian((1.0, 1.0, 1.0), tex_id=tex)
+    red = b.materials.lambertian((0.6, 0.15, 0.1))
+    b.add_shape(mesh_mod.make_quad([-6, -1, -6], [6, -1, -6],
+                                   [6, -1, 6], [-6, -1, 6]), floor_m)
+    ball = mesh_mod.make_sphere_mesh([0, 0, 0], 1.0, 12, 24)
+    gid = b.add_instanced_group([(ball, red)])
+    import numpy as np
+
+    for x, z, s in ((-1.6, 0.0, 0.6), (0.0, 0.8, 0.9), (1.7, -0.4, 0.5)):
+        t = np.eye(4)
+        t[:3, 3] = (x, s - 1.0, z)
+        t[0, 0] = t[1, 1] = t[2, 2] = s
+        b.add_instance(gid, t)
+    black = b.materials.lambertian((0.0, 0.0, 0.0))
+    light = mesh_mod.make_quad([-1.5, 4, -1.5], [1.5, 4, -1.5],
+                               [1.5, 4, 1.5], [-1.5, 4, 1.5])
+    b.add_area_emitter_shape(light, black, (12.0, 12.0, 12.0))
+    _camera(b, (0.0, 1.2, 5.0), (0.0, 0.0, 0.0), fov=35)
+    return b.build(backend="cluster"), 4
+
+
 SCENES = {
     "bunny_lambert": scene_bunny_lambert,
     "ward_spheres": scene_ward_spheres,
     "cornell": scene_cornell,
+    "instanced_cluster": scene_instanced_cluster,
 }
 
 
@@ -121,7 +154,11 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     os.makedirs(DIR, exist_ok=True)
+    import sys
+    only = set(sys.argv[1:])
     for name, make in SCENES.items():
+        if only and name not in only:
+            continue
         scene, depth = make()
         mean, var = render_stats(scene, depth, GOLDEN_SPP, seed=1234)
         np.savez_compressed(
