@@ -91,10 +91,10 @@ def main():
     print(f"A full depth5: {m:.1f} Mrays/s ({t*1e3:.0f} ms, {r/1e6:.1f} Mrays)",
           flush=True)
 
-    cfg_ns = dataclasses.replace(cfg, sort_rays=False)
-    # path.py force-enables sort for cluster; bypass via direct flag
-    m, t, r = render_time(scene, cfg_ns, spp)
-    print(f"B no-sort depth5: {m:.1f} Mrays/s ({t*1e3:.0f} ms)", flush=True)
+    cfg_oct = dataclasses.replace(cfg, sort_mode="octant")
+    m, t, r = render_time(scene, cfg_oct, spp)
+    print(f"B octant-mode depth5: {m:.1f} Mrays/s ({t*1e3:.0f} ms)",
+          flush=True)
 
     cfg1 = PathConfig(max_depth=1, spp=spp, remat=False)
     m, t, r = render_time(scene, cfg1, spp)
