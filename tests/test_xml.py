@@ -256,3 +256,23 @@ def test_xml_mesh_found_via_search_path(tmp_path, monkeypatch):
     scene, cfg = load_scene_string(xml, base_dir=str(tmp_path))
     assert scene.geom.v0.shape[0] > 0
     R._default = None
+
+
+def test_snow_showcase_scene():
+    """scenes/snow.xml: the fork's research stack (wiscombe snow BRDF +
+    Preetham sky + analytic spheres) loads and renders through the
+    public XML path."""
+    import numpy as np
+
+    from mitsuba_tpu.integrators import PathConfig, render
+    from mitsuba_tpu.io.xml import load_scene
+
+    scene, cfg = load_scene(
+        os.path.join(os.path.dirname(__file__), "..", "scenes", "snow.xml"),
+        params=dict(depth=3, spp=2, width=32, height=24))
+    img, _ = render(scene, PathConfig(max_depth=3, spp=2))
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    # snow field (bottom rows) must read brighter than the sky's blue
+    # channel dominance — i.e. scene is lit and the BRDF reflects
+    assert img[-6:].mean() > 0.3
