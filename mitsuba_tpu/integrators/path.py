@@ -57,6 +57,11 @@ class PathConfig:
     sort_mode: str = "full"     # 'full' octant-major Morton argsort |
                                 # 'octant' stable linear counting-sort
                                 # (lanes already arrive pixel-Morton)
+    hit_prediction: bool = False  # hash-based ray-path prediction
+                                # (arXiv:1910.01304): a (cell, octant)
+                                # table of recently-hit prims gives exact
+                                # maxt bounds for closest hits and a
+                                # shadow cache for NEE rays
     mip_filter: bool = False    # ray-cone texture lod (needs
                                 # SceneBuilder(build_mips=True) pyramids)
     aniso_filter: bool = False  # EWA anisotropic filtering in the render
@@ -159,6 +164,22 @@ def _octant_partition(keys):
     order = jnp.zeros(n, jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32), unique_indices=True)
     return order, pos
+
+
+_PRED_BITS = 21          # 2^21-entry prediction table (8 MB int32)
+
+
+def _pred_keys(o, d, bmin, bmax):
+    """Prediction-table key: 6 bits/axis origin cell + direction octant
+    (arXiv:1910.01304 hashes origin/direction into a table of recent
+    hits; a 64^3 cell grid keeps collisions spatially plausible)."""
+    q = jnp.clip((o - bmin) / jnp.maximum(bmax - bmin, 1e-6) * 63.0,
+                 0, 63).astype(jnp.int32)
+    cell = (q[:, 0] << 12) | (q[:, 1] << 6) | q[:, 2]
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              + 2 * (d[:, 1] > 0).astype(jnp.int32)
+              + 4 * (d[:, 2] > 0).astype(jnp.int32))
+    return (octant << 18) | cell
 
 
 def _bounce_order(ray, bmin, bmax, mode: str):
@@ -298,6 +319,11 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         Ray.make(ray.o, ray.d, maxt=jnp.full(n, -1.0)),   # pending shadow
         jnp.zeros((n, 3)),            # pending NEE contribution
         jnp.zeros(n, bool),           # pending valid
+        # hash-based ray-path prediction table (scalar placeholder when
+        # off — same pattern as path_len) + bound/shortcut hit counter
+        jnp.full(1 << _PRED_BITS, -1, jnp.int32) if cfg.hit_prediction
+        else jnp.zeros((), jnp.int32),
+        jnp.zeros(()),                # pred_hits
     )
     # ray-cone spread: one pixel's angular size (Akenine-Moller ray cones;
     # replaces the reference's RayDifferential transfer, which would need
@@ -306,15 +332,49 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
 
     def bounce(carry, xs):
         (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
-         rays_traced, path_len, pend_ray, pend_contrib, pend_ok) = carry
+         rays_traced, path_len, pend_ray, pend_contrib, pend_ok,
+         pred_table, pred_hits) = carry
         (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr) = xs
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32)) \
             + jnp.sum(pend_ok.astype(jnp.float32))
+        ray_q, pend_q = ray, pend_ray
+        occ_pred = jnp.zeros(n, bool)
+        if cfg.hit_prediction:
+            from mitsuba_tpu.render.intersect import predicted_hit_bound
+
+            pbmin = scene.geom.bvh_min[0]
+            pbmax = scene.geom.bvh_max[0]
+            kc = _pred_keys(_detach(ray.o), _detach(ray.d), pbmin, pbmax)
+            pred = pred_table[kc]
+            t_pred, hitp = predicted_hit_bound(scene.geom, ray, pred)
+            # an exact hit of the cached prim caps the nearest-hit search;
+            # the margin absorbs fp differences vs the kernels' MT order
+            ray_q = replace(ray, maxt=jnp.where(
+                hitp, _detach(t_pred) * (1.0 + 1e-4), ray.maxt))
+            # shadow cache (Haines): a cached prim blocking the segment
+            # answers the any-hit query outright
+            ks = _pred_keys(_detach(pend_ray.o), _detach(pend_ray.d),
+                            pbmin, pbmax)
+            _ts, occ_pred = predicted_hit_bound(scene.geom, pend_ray,
+                                                pred_table[ks])
+            pend_q = replace(pend_ray, maxt=jnp.where(
+                occ_pred, -1.0, pend_ray.maxt))
+            pred_hits = pred_hits \
+                + jnp.sum((hitp & active).astype(jnp.float32)) \
+                + jnp.sum((occ_pred & pend_ok).astype(jnp.float32))
         if cfg.sort_rays:
-            its = _sorted_intersect(scene, ray, cfg.sort_mode)
-            s_occ = _sorted_test(scene, pend_ray, cfg.sort_mode)
+            its = _sorted_intersect(scene, ray_q, cfg.sort_mode)
+            s_occ = _sorted_test(scene, pend_q, cfg.sort_mode)
         else:
-            its, s_occ = ray_intersect_and_test(scene.geom, ray, pend_ray)
+            its, s_occ = ray_intersect_and_test(scene.geom, ray_q, pend_q)
+        if cfg.hit_prediction:
+            s_occ = s_occ | occ_pred
+            # learn this bounce's hits (static prims only — instanced
+            # virtual ids can't be re-tested without their transforms)
+            ok_upd = its.valid & (its.prim_id >= 0) \
+                & (its.prim_id < scene.geom.n_tris)
+            pred_table = pred_table.at[kc].set(
+                jnp.where(ok_upd, its.prim_id, pred))
         # resolve the previous bounce's NEE shadow ray
         L = L + jnp.where((pend_ok & ~s_occ)[:, None], pend_contrib, 0.0)
         if cfg.mip_filter:
@@ -448,7 +508,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         )
         carry = (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"],
                  depth_count, rays_traced, path_len, pend_ray, pend_contrib,
-                 pend_ok)
+                 pend_ok, pred_table, pred_hits)
         return carry, None
 
     body = jax.checkpoint(bounce) if cfg.remat else bounce
@@ -457,12 +517,16 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr),
     )
     (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
-     rays_traced, _path_len, pend_ray, pend_contrib, pend_ok) = carry
+     rays_traced, _path_len, pend_ray, pend_contrib, pend_ok,
+     _pred_table, pred_hits) = carry
     # no post-scan flush needed: NEE is gated off at the last depth
     # (cont = active & ~is_last), so the final pending set is empty
     return L, {
         "avg_path_length": jnp.mean(depth_count.astype(jnp.float32)),
         "rays_traced": rays_traced,
+        # fraction of traced queries that had a usable prediction (bound
+        # or shadow shortcut); 0 when hit_prediction is off
+        "pred_hit_frac": pred_hits / jnp.maximum(rays_traced, 1.0),
     }
 
 

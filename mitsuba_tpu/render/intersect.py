@@ -437,6 +437,25 @@ def _mt_hit(o, d, v0, e1, e2, mint, maxt):
     return t, u, v, hit
 
 
+def predicted_hit_bound(geom: GeometryTables, ray: Ray, pred_prim):
+    """Exact MT test of each ray against ONE predicted triangle
+    (hash-based ray-path prediction, arXiv:1910.01304: rays from the same
+    spatial cell + direction octant tend to hit the same primitive).
+
+    Any hit yields an exact UPPER BOUND on the nearest-hit distance —
+    feeding it back as maxt tightens the work-list cull's conservative
+    row intervals and the kernel's early-exit, without changing results
+    (traversal still resolves the true nearest within the bound). For
+    shadow rays the hit itself answers the any-hit query (the classic
+    shadow cache). Returns (t, hit) — only static prims (< n_tris)
+    participate; others report miss."""
+    ok = (pred_prim >= 0) & (pred_prim < geom.n_tris)
+    prim = jnp.clip(pred_prim, 0, geom.n_tris - 1)
+    t, _u, _v, hit = _mt_hit(ray.o, ray.d, geom.v0[prim], geom.e1[prim],
+                             geom.e2[prim], ray.mint, ray.maxt)
+    return t, hit & ok
+
+
 def _closest_brute(geom: GeometryTables, ray: Ray):
     """All-pairs closest hit: (N rays) x (T tris)."""
     o = ray.o[:, None, :]

@@ -322,3 +322,21 @@ def test_octant_sort_mode_matches_full(cluster_scene=None):
     a, _ = render(scene, PathConfig(max_depth=3, spp=2, sort_mode="full"))
     b, _ = render(scene, PathConfig(max_depth=3, spp=2, sort_mode="octant"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_hit_prediction_identical_render():
+    """hash-based hit prediction (PathConfig.hit_prediction) must be an
+    exact optimization: bounds/shortcuts only, bitwise-equal output."""
+    import dataclasses
+
+    import numpy as np
+
+    from mitsuba_tpu.integrators import PathConfig, render
+    from mitsuba_tpu.render.scene import cornell_box
+
+    scene = cornell_box(24, 24, backend="brute")
+    base = PathConfig(max_depth=4, spp=2)
+    a, _ = render(scene, base)
+    b, aux = render(scene, dataclasses.replace(base, hit_prediction=True))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(aux["pred_hit_frac"]) >= 0.0
