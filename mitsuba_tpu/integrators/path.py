@@ -271,7 +271,9 @@ def _cone_duv_aniso(geom, its, d, width):
     return duv_dx, duv_dy
 
 
-def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
+def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
+               guide=None, learn_guide: bool = False,
+               guide_alpha: float = 0.5):
     """Trace radiance along the given camera rays. Returns (L, aux dict).
 
     The bounce loop is a `lax.scan` over depth: ONE traced/compiled bounce
@@ -298,6 +300,12 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
     u_bsdf_2d = sampler.next_stacked_2d(d_max)
     u_lobe = sampler.next_stacked_1d(d_max)
     u_rr = sampler.next_stacked_1d(d_max)
+    # guided sampling consumes two extra fields (mixture pick + bin CDF)
+    if guide is not None and not learn_guide:
+        u_gpick = sampler.next_stacked_1d(d_max)
+        u_gbin = sampler.next_stacked_1d(d_max)
+    else:
+        u_gpick = u_gbin = jnp.zeros((d_max, 1))
     is_last = (jnp.arange(d_max) + 1) >= d_max       # (D,)
     do_rr = jnp.arange(d_max) >= cfg.rr_depth        # (D,)
 
@@ -324,6 +332,9 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         jnp.full(1 << _PRED_BITS, -1, jnp.int32) if cfg.hit_prediction
         else jnp.zeros((), jnp.int32),
         jnp.zeros(()),                # pred_hits
+        # guide histogram mass while learning (scalar placeholder else)
+        guide.mass if learn_guide and guide is not None
+        else jnp.zeros(()),
     )
     # ray-cone spread: one pixel's angular size (Akenine-Moller ray cones;
     # replaces the reference's RayDifferential transfer, which would need
@@ -333,8 +344,10 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
     def bounce(carry, xs):
         (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
          rays_traced, path_len, pend_ray, pend_contrib, pend_ok,
-         pred_table, pred_hits) = carry
-        (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr) = xs
+         pred_table, pred_hits, guide_mass) = carry
+        (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, u_gpick, u_gbin,
+         is_last, do_rr) = xs
+        act_in = active                 # lanes tracing at bounce entry
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32)) \
             + jnp.sum(pend_ok.astype(jnp.float32))
         ray_q, pend_q = ray, pend_ray
@@ -398,6 +411,32 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
 
         # --- emitter hit (BSDF-sampling MIS side) -----------------------
         le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
+        if learn_guide and guide is not None:
+            # guide learning: radiance arriving at the ray's origin along
+            # its direction (emitter hits + environment); unweighted by
+            # MIS/throughput — the guide targets incident radiance
+            from mitsuba_tpu.core.types import replace as _replace
+            from mitsuba_tpu.integrators.guiding import guide_update
+
+            inc = jnp.where(active[:, None], le, 0.0) \
+                + jnp.where(esc[:, None], env, 0.0)
+            lum = (0.2126 * inc[:, 0] + 0.7152 * inc[:, 1]
+                   + 0.0722 * inc[:, 2])
+            g_tmp = guide_update(_replace(guide, mass=guide_mass),
+                                 _detach(ray.o), _detach(ray.d),
+                                 _detach(lum), act_in & (lum > 0))
+            guide_mass = g_tmp.mass
+        if guide is not None and not learn_guide:
+            # guided mixture: sample the guide's directional histogram up
+            # front so its pdf can enter every MIS weight consistently
+            from mitsuba_tpu.integrators.guiding import (
+                guide_pdf as _guide_pdf, guide_sample as _guide_sample,
+            )
+
+            g_dir, g_pdf_s, g_ok = _guide_sample(
+                guide, _detach(its.p), _detach(u_bsdf_2d),
+                _detach(u_gbin))
+            alpha_l = jnp.where(g_ok, guide_alpha, 1.0)
         lum_pdf = pdf_direct_area(
             scene.emitters, its.prim_id, ray.o, its.p, its.geo_n,
             emitter_id=its.emitter_id,
@@ -460,6 +499,11 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         fcos = bsdf_eval(scene.materials, its.material_id, its.wi, wo_local,
                          albedo=albedo, uv=its.uv)
         b_pdf = bsdf_pdf(scene.materials, its.material_id, its.wi, wo_local)
+        if guide is not None and not learn_guide:
+            # MIS counterweight = pdf the ACTUAL scatter strategy (the
+            # α·BSDF + (1-α)·guide mixture) assigns to the NEE direction
+            b_pdf = alpha_l * b_pdf + (1.0 - alpha_l) * _guide_pdf(
+                guide, _detach(its.p), _detach(ds.d))
         nee_ok = cont & ds.valid & (ds.pdf > 0)
         # shadow ray (reference Scene::isOccluded); epsilon scales with the
         # local coordinate magnitude to stay above float32 ulp at scene scale
@@ -480,10 +524,37 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
             _detach(u_bsdf_2d), _detach(u_lobe), albedo=albedo, uv=its.uv,
         )
         wo_world = its.to_world(bs["wo"])
+        wo_z = bs["wo"][..., 2]
+        if guide is not None and not learn_guide:
+            # one-sample mixture: with prob (1-α) take the guide's
+            # direction (never on delta lobes / empty cells); weight by
+            # the true mixture pdf — unbiased for ANY guide content
+            smooth = ~bs["delta"] & g_ok
+            pick_g = smooth & (_detach(u_gpick) >= alpha_l) & cont
+            wo_mix = jnp.where(pick_g[:, None], g_dir, wo_world)
+            wo_mix_l = its.to_local(wo_mix)
+            fcos_mix = bsdf_eval(scene.materials, its.material_id, its.wi,
+                                 wo_mix_l, albedo=albedo, uv=its.uv)
+            pb_mix = bsdf_pdf(scene.materials, its.material_id, its.wi,
+                              wo_mix_l)
+            pg_mix = jnp.where(pick_g, g_pdf_s, _guide_pdf(
+                guide, _detach(its.p), _detach(wo_mix)))
+            q_mix = alpha_l * pb_mix + (1.0 - alpha_l) * pg_mix
+            ok_mix = q_mix > 1e-12
+            w_mix = fcos_mix / jnp.maximum(q_mix, 1e-12)[:, None]
+            use_mix = ~bs["delta"]          # delta lanes keep exact path
+            bs = dict(
+                bs,
+                weight=jnp.where(use_mix[:, None], w_mix, bs["weight"]),
+                pdf=jnp.where(use_mix, q_mix, bs["pdf"]),
+                valid=jnp.where(use_mix, ok_mix, bs["valid"]),
+            )
+            wo_world = jnp.where(use_mix[:, None], wo_mix, wo_world)
+            wo_z = jnp.where(use_mix, wo_mix_l[..., 2], wo_z)
         active = cont & bs["valid"]
         if cfg.strict_normals:
             wo_geo = jnp.sum(its.geo_n * wo_world, axis=-1)
-            active = active & (wo_geo * bs["wo"][..., 2] > 0)
+            active = active & (wo_geo * wo_z > 0)
 
         # --- Russian roulette (reference path.cpp:196) ------------------
         albedo = jnp.minimum(0.9, jnp.max(_detach(bs["weight"]), axis=-1))
@@ -508,26 +579,32 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig):
         )
         carry = (L, throughput, ray, active, _detach(bs["pdf"]), bs["delta"],
                  depth_count, rays_traced, path_len, pend_ray, pend_contrib,
-                 pend_ok, pred_table, pred_hits)
+                 pend_ok, pred_table, pred_hits, guide_mass)
         return carry, None
 
     body = jax.checkpoint(bounce) if cfg.remat else bounce
     carry, _ = jax.lax.scan(
         body, init,
-        (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, is_last, do_rr),
+        (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, u_gpick, u_gbin,
+         is_last, do_rr),
     )
     (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
      rays_traced, _path_len, pend_ray, pend_contrib, pend_ok,
-     _pred_table, pred_hits) = carry
+     _pred_table, pred_hits, guide_mass_out) = carry
     # no post-scan flush needed: NEE is gated off at the last depth
     # (cont = active & ~is_last), so the final pending set is empty
-    return L, {
+    aux = {
         "avg_path_length": jnp.mean(depth_count.astype(jnp.float32)),
         "rays_traced": rays_traced,
         # fraction of traced queries that had a usable prediction (bound
         # or shadow shortcut); 0 when hit_prediction is off
         "pred_hit_frac": pred_hits / jnp.maximum(rays_traced, 1.0),
     }
+    if learn_guide and guide is not None:
+        from mitsuba_tpu.core.types import replace as _replace
+
+        aux["guide"] = _replace(guide, mass=guide_mass_out)
+    return L, aux
 
 
 def render_motion(scenes, cfg: PathConfig, seed: int = 0):
@@ -552,9 +629,11 @@ def render_motion(scenes, cfg: PathConfig, seed: int = 0):
     return acc / len(scenes), aux_last
 
 
-def render(scene, cfg: PathConfig, seed: int = 0):
+def render(scene, cfg: PathConfig, seed: int = 0, guide=None,
+           learn_guide: bool = False, guide_alpha: float = 0.5):
     """Render the scene to an (H, W, 3) image with the configured
-    reconstruction filter. Wavefront layout: lane = pixel * spp + sample."""
+    reconstruction filter. Wavefront layout: lane = pixel * spp + sample.
+    guide/learn_guide: see render_guided."""
     from mitsuba_tpu.render.film import develop
     from mitsuba_tpu.render.rfilter import make_rfilter
 
@@ -591,9 +670,44 @@ def render(scene, cfg: PathConfig, seed: int = 0):
     offset = sample_position(cfg.pattern, sample_id, spp, jitter)
     uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], axis=-1)
     ray = scene.camera.sample_ray(uv)
-    L, aux = path_trace(scene, ray, sampler, cfg)
+    L, aux = path_trace(scene, ray, sampler, cfg, guide=guide,
+                        learn_guide=learn_guide, guide_alpha=guide_alpha)
     if morton:
         L = L[inv_lane]
         offset = offset[inv_lane]
     img = develop(L, offset, spp, h, w, make_rfilter(cfg.rfilter))
     return img, aux
+
+
+def render_guided(scene, cfg: PathConfig, seed: int = 0,
+                  learn_frac: float = 0.5, guide_alpha: float = 0.5,
+                  res: int = 16):
+    """Path-guided render (beyond-parity feature; arXiv:2405.06997-style
+    wavefront guiding): phase 1 renders learn_frac of the spp unguided
+    while depositing incident radiance into a spatial-directional
+    histogram grid; phase 2 renders the rest drawing scatter directions
+    from the one-sample mixture α·BSDF + (1-α)·guide. Both phases are
+    unbiased; the result is their spp-weighted average."""
+    import dataclasses
+
+    import numpy as np
+
+    from mitsuba_tpu.integrators.guiding import make_guide
+
+    spp1 = max(1, int(round(cfg.spp * learn_frac)))
+    spp2 = max(0, cfg.spp - spp1)
+    v0 = np.asarray(scene.geom.v0)
+    ext = v0.max(0) - v0.min(0)
+    guide = make_guide(v0.min(0) - 0.01 * ext, v0.max(0) + 0.01 * ext,
+                       res=res)
+    img1, aux1 = render(scene, dataclasses.replace(cfg, spp=spp1),
+                        seed=seed, guide=guide, learn_guide=True)
+    if spp2 == 0:
+        return img1, aux1
+    guide = aux1.pop("guide")
+    img2, aux2 = render(scene, dataclasses.replace(cfg, spp=spp2),
+                        seed=seed + 7507, guide=guide,
+                        guide_alpha=guide_alpha)
+    img = (img1 * spp1 + img2 * spp2) / (spp1 + spp2)
+    aux2["rays_traced"] = aux1["rays_traced"] + aux2["rays_traced"]
+    return img, aux2
