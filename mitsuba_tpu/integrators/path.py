@@ -273,7 +273,7 @@ def _cone_duv_aniso(geom, its, d, width):
 
 def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                guide=None, learn_guide: bool = False,
-               guide_alpha: float = 0.5):
+               guide_alpha: float = 0.5, guide_sampling: bool = None):
     """Trace radiance along the given camera rays. Returns (L, aux dict).
 
     The bounce loop is a `lax.scan` over depth: ONE traced/compiled bounce
@@ -300,8 +300,14 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
     u_bsdf_2d = sampler.next_stacked_2d(d_max)
     u_lobe = sampler.next_stacked_1d(d_max)
     u_rr = sampler.next_stacked_1d(d_max)
-    # guided sampling consumes two extra fields (mixture pick + bin CDF)
-    if guide is not None and not learn_guide:
+    # guided sampling consumes two extra fields (mixture pick + bin CDF);
+    # guide_sampling defaults to "whenever a guide is given and we're not
+    # in a pure learning pass" — progressive renders pass both (sample
+    # from the accumulated guide while depositing new learning)
+    if guide_sampling is None:
+        guide_sampling = guide is not None and not learn_guide
+    guide_sampling = guide_sampling and guide is not None
+    if guide_sampling:
         u_gpick = sampler.next_stacked_1d(d_max)
         u_gbin = sampler.next_stacked_1d(d_max)
     else:
@@ -426,7 +432,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                                  _detach(ray.o), _detach(ray.d),
                                  _detach(lum), act_in & (lum > 0))
             guide_mass = g_tmp.mass
-        if guide is not None and not learn_guide:
+        if guide_sampling:
             # guided mixture: sample the guide's directional histogram up
             # front so its pdf can enter every MIS weight consistently
             from mitsuba_tpu.integrators.guiding import (
@@ -499,7 +505,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
         fcos = bsdf_eval(scene.materials, its.material_id, its.wi, wo_local,
                          albedo=albedo, uv=its.uv)
         b_pdf = bsdf_pdf(scene.materials, its.material_id, its.wi, wo_local)
-        if guide is not None and not learn_guide:
+        if guide_sampling:
             # MIS counterweight = pdf the ACTUAL scatter strategy (the
             # α·BSDF + (1-α)·guide mixture) assigns to the NEE direction
             b_pdf = alpha_l * b_pdf + (1.0 - alpha_l) * _guide_pdf(
@@ -525,7 +531,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
         )
         wo_world = its.to_world(bs["wo"])
         wo_z = bs["wo"][..., 2]
-        if guide is not None and not learn_guide:
+        if guide_sampling:
             # one-sample mixture: with prob (1-α) take the guide's
             # direction (never on delta lobes / empty cells); weight by
             # the true mixture pdf — unbiased for ANY guide content
@@ -630,7 +636,8 @@ def render_motion(scenes, cfg: PathConfig, seed: int = 0):
 
 
 def render(scene, cfg: PathConfig, seed: int = 0, guide=None,
-           learn_guide: bool = False, guide_alpha: float = 0.5):
+           learn_guide: bool = False, guide_alpha: float = 0.5,
+           guide_sampling: bool = None):
     """Render the scene to an (H, W, 3) image with the configured
     reconstruction filter. Wavefront layout: lane = pixel * spp + sample.
     guide/learn_guide: see render_guided."""
@@ -671,7 +678,8 @@ def render(scene, cfg: PathConfig, seed: int = 0, guide=None,
     uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], axis=-1)
     ray = scene.camera.sample_ray(uv)
     L, aux = path_trace(scene, ray, sampler, cfg, guide=guide,
-                        learn_guide=learn_guide, guide_alpha=guide_alpha)
+                        learn_guide=learn_guide, guide_alpha=guide_alpha,
+                        guide_sampling=guide_sampling)
     if morton:
         L = L[inv_lane]
         offset = offset[inv_lane]

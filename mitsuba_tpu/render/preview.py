@@ -17,14 +17,38 @@ from mitsuba_tpu.utils.checkpoint import FilmCheckpoint
 
 def progressive_render(scene, cfg: PathConfig, n_passes: int = 16,
                        callback=None, seed: int = 0,
-                       checkpoint: FilmCheckpoint | None = None):
+                       checkpoint: FilmCheckpoint | None = None,
+                       guided: bool = False, guide_res: int = 16):
     """Accumulate `n_passes` renders of cfg.spp each; callback(image, i,
-    spp_total, dt) fires after every pass. Resumes from `checkpoint`."""
+    spp_total, dt) fires after every pass. Resumes from `checkpoint`.
+
+    guided=True: each pass samples from the guide accumulated by all
+    previous passes while depositing new learning (integrators/guiding) —
+    long progressive renders converge with continuously improving
+    importance sampling at no extra ray cost."""
     fc = checkpoint or FilmCheckpoint(scene.height, scene.width)
     start_pass = fc.count // max(cfg.spp, 1)
+    guide = None
+    if guided:
+        import numpy as np
+
+        from mitsuba_tpu.integrators.guiding import make_guide
+
+        v0 = np.asarray(scene.geom.v0)
+        ext = v0.max(0) - v0.min(0)
+        guide = make_guide(v0.min(0) - 0.01 * ext, v0.max(0) + 0.01 * ext,
+                           res=guide_res)
     for i in range(start_pass, start_pass + n_passes):
         t0 = time.time()
-        img, _ = render(scene, cfg, seed=seed * 7919 + i)
+        if guided:
+            # first pass: pure learning (guide is empty); later passes
+            # sample AND keep learning
+            img, aux = render(scene, cfg, seed=seed * 7919 + i,
+                              guide=guide, learn_guide=True,
+                              guide_sampling=i > start_pass)
+            guide = aux["guide"]
+        else:
+            img, _ = render(scene, cfg, seed=seed * 7919 + i)
         fc.add_pass(img, cfg.spp)
         if callback is not None:
             callback(fc.image, i, fc.count, time.time() - t0)

@@ -129,3 +129,21 @@ def test_guided_render_reduces_variance():
                    for s in seeds])
     ratio = ig.var(axis=0).mean() / iu.var(axis=0).mean()
     assert ratio < 0.9, ratio
+
+
+def test_progressive_guided_matches_unguided():
+    """progressive_render(guided=True): learn-while-sampling passes stay
+    unbiased — accumulated image t-test-equal to the plain progressive
+    render."""
+    from mitsuba_tpu.integrators import PathConfig
+    from mitsuba_tpu.render.preview import progressive_render
+    from mitsuba_tpu.render.scene import cornell_box
+
+    scene = cornell_box(20, 20, backend="brute")
+    cfg = PathConfig(max_depth=4, spp=4, remat=False)
+    a, _ = progressive_render(scene, cfg, n_passes=4, seed=3)
+    b, _ = progressive_render(scene, cfg, n_passes=4, seed=3, guided=True)
+    a, b = np.asarray(a), np.asarray(b)
+    # same total spp; different estimators -> compare means loosely
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.05
+    assert np.isfinite(b).all()
