@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--gui", action="store_true",
                     help="interactive progressive preview in the browser "
                          "(mtsgui analog; headless HTTP viewport)")
+    ap.add_argument("--guided", action="store_true",
+                    help="path-guided rendering (learned directional "
+                         "importance sampling; lower variance per spp)")
     ap.add_argument("--gui-port", type=int, default=8555)
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("-D", "--define", action="append", default=[],
@@ -145,6 +148,10 @@ def main(argv=None):
 
             img, aux = render_motion(cfg["time_scenes"], pcfg,
                                      seed=args.seed)
+        elif args.guided or cfg.get("guiding"):
+            from mitsuba_tpu.integrators.path import render_guided
+
+            img, aux = render_guided(scene, pcfg, seed=args.seed)
         else:
             img, aux = render(scene, pcfg, seed=args.seed)
         img = np.asarray(img)

@@ -260,6 +260,8 @@ def build_scene(parsed, base_dir: str, backend: str = "auto"):
         config["integrator"] = integ["type"] or "path"
         config["maxDepth"] = int(integ["props"].get("maxDepth", -1))
         config["rrDepth"] = int(integ["props"].get("rrDepth", 10))
+        g = integ["props"].get("guiding", False)
+        config["guiding"] = g in (True, "true", "1")
 
     cam_node = _find_child(parsed, "camera")
     film_w, film_h = 768, 576
