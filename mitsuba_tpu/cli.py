@@ -42,6 +42,9 @@ def main(argv=None):
                     help="path-guided rendering (learned directional "
                          "importance sampling; lower variance per spp)")
     ap.add_argument("--gui-port", type=int, default=8555)
+    ap.add_argument("--cpu", action="store_true",
+                    help="render on host CPU (skips the accelerator; "
+                         "useful for smoke tests and offline machines)")
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("-D", "--define", action="append", default=[],
                     metavar="KEY=VALUE")
@@ -61,6 +64,13 @@ def main(argv=None):
     ap.add_argument("-r", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("-j", type=int, default=1, help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        # env JAX_PLATFORMS can be force-set by the host image; the config
+        # update is the only reliable override
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.server or args.listen_stdio:
         from mitsuba_tpu.parallel.server import (
@@ -136,10 +146,14 @@ def main(argv=None):
                 f"integrator={cfg['integrator']} filter={pcfg.rfilter}"
             )
         if cfg["integrator"] in ("volpath", "volpath_simple") or "medium" in cfg:
-            from mitsuba_tpu.integrators.volpath import render_volpath
+            from mitsuba_tpu.integrators.volpath import (
+                render_volpath, render_volpath_guided,
+            )
             from mitsuba_tpu.media import no_medium
 
-            img, aux = render_volpath(
+            vol_render = render_volpath_guided \
+                if (args.guided or cfg.get("guiding")) else render_volpath
+            img, aux = vol_render(
                 scene, cfg.get("medium", no_medium()), pcfg, seed=args.seed,
                 mis=cfg["integrator"] != "volpath_simple",
             )

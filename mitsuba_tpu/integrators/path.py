@@ -441,7 +441,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
 
             g_dir, g_pdf_s, g_ok = _guide_sample(
                 guide, _detach(its.p), _detach(u_bsdf_2d),
-                _detach(u_gbin))
+                _detach(u_gbin), normal=_detach(its.sh_n))
             alpha_l = jnp.where(g_ok, guide_alpha, 1.0)
         lum_pdf = pdf_direct_area(
             scene.emitters, its.prim_id, ray.o, its.p, its.geo_n,
@@ -509,7 +509,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
             # MIS counterweight = pdf the ACTUAL scatter strategy (the
             # α·BSDF + (1-α)·guide mixture) assigns to the NEE direction
             b_pdf = alpha_l * b_pdf + (1.0 - alpha_l) * _guide_pdf(
-                guide, _detach(its.p), _detach(ds.d))
+                guide, _detach(its.p), _detach(ds.d),
+                normal=_detach(its.sh_n))
         nee_ok = cont & ds.valid & (ds.pdf > 0)
         # shadow ray (reference Scene::isOccluded); epsilon scales with the
         # local coordinate magnitude to stay above float32 ulp at scene scale
@@ -544,7 +545,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
             pb_mix = bsdf_pdf(scene.materials, its.material_id, its.wi,
                               wo_mix_l)
             pg_mix = jnp.where(pick_g, g_pdf_s, _guide_pdf(
-                guide, _detach(its.p), _detach(wo_mix)))
+                guide, _detach(its.p), _detach(wo_mix),
+                normal=_detach(its.sh_n)))
             q_mix = alpha_l * pb_mix + (1.0 - alpha_l) * pg_mix
             ok_mix = q_mix > 1e-12
             w_mix = fcos_mix / jnp.maximum(q_mix, 1e-12)[:, None]

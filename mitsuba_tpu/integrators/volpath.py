@@ -45,11 +45,16 @@ _FAR = 1e6
 
 
 def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
-                  seed: int = 0, mis: bool = True):
+                  seed: int = 0, mis: bool = True, guide=None,
+                  learn_guide: bool = False, guide_alpha: float = 0.5,
+                  guide_sampling: bool = None):
     """Trace radiance with an ambient participating medium.
 
     medium: MediumTable (media/medium.py); mis=False reproduces the
-    volpath_simple estimator (no phase-side MIS)."""
+    volpath_simple estimator (no phase-side MIS).
+    guide/learn_guide: volumetric path guiding (integrators/guiding) —
+    medium scatter directions draw from the α·phase + (1-α)·guide
+    mixture; surfaces keep plain BSDF sampling."""
     n = ray.o.shape[0]
     d_max = cfg.max_depth
 
@@ -60,6 +65,14 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
     u_scatter = sampler.next_stacked_2d(d_max)
     u_lobe = sampler.next_stacked_1d(d_max)
     u_rr = sampler.next_stacked_1d(d_max)
+    if guide_sampling is None:
+        guide_sampling = guide is not None and not learn_guide
+    guide_sampling = guide_sampling and guide is not None
+    if guide_sampling:
+        u_gpick = sampler.next_stacked_1d(d_max)
+        u_gbin = sampler.next_stacked_1d(d_max)
+    else:
+        u_gpick = u_gbin = jnp.zeros((d_max, 1))
     wd_keys = jax.random.split(jax.random.fold_in(jax.random.key(seed), 0x77), d_max)
     is_last = (jnp.arange(d_max) + 1) >= d_max
     do_rr = jnp.arange(d_max) >= cfg.rr_depth
@@ -68,12 +81,16 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
         jnp.zeros((n, 3)), jnp.ones((n, 3)), ray,
         jnp.ones(n, bool), jnp.zeros(n), jnp.ones(n, bool),
         jnp.zeros(n, jnp.int32),
+        guide.mass if learn_guide and guide is not None
+        else jnp.zeros(()),
     )
 
     def bounce(carry, xs):
-        L, throughput, ray, active, prev_pdf, prev_delta, depth_count = carry
+        (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
+         guide_mass) = carry
         (u_ch, u_dist, u_nee_sel, u_nee_pos, u_scatter, u_lobe, u_rr,
-         wd_key, is_last, do_rr) = xs
+         u_gpick, u_gbin, wd_key, is_last, do_rr) = xs
+        act_in = active
 
         its = ray_intersect(scene.geom, ray)
         t_surf = jnp.where(its.valid, its.t, _FAR)
@@ -101,6 +118,18 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
 
         # --- surface emitter hit ---------------------------------------
         le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
+        if learn_guide and guide is not None:
+            from mitsuba_tpu.core.types import replace as _vreplace
+            from mitsuba_tpu.integrators.guiding import guide_update
+
+            inc = jnp.where(at_surface[:, None], le, 0.0) \
+                + jnp.where(escaped[:, None], env, 0.0)
+            lum = (0.2126 * inc[:, 0] + 0.7152 * inc[:, 1]
+                   + 0.0722 * inc[:, 2])
+            g_tmp = guide_update(_vreplace(guide, mass=guide_mass),
+                                 _detach(ray.o), _detach(ray.d),
+                                 _detach(lum), act_in & (lum > 0))
+            guide_mass = g_tmp.mass
         lum_pdf = pdf_direct_area(scene.emitters, its.prim_id, ray.o,
                                   its.p, its.geo_n,
                                   emitter_id=its.emitter_id)
@@ -131,6 +160,21 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
                            fiber_axis=ph_axis,
                            flake_coeffs=medium.flake_coeffs) if mis \
             else jnp.zeros(n)
+        if guide_sampling:
+            # volumetric guiding: the scatter strategy below is the
+            # α·phase + (1-α)·guide mixture, so MIS counterweights use
+            # the mixture pdf too
+            from mitsuba_tpu.integrators.guiding import (
+                guide_pdf as _guide_pdf, guide_sample as _guide_sample,
+            )
+
+            g_dir, g_pdf_s, g_ok = _guide_sample(
+                guide, _detach(p_scatter), _detach(u_scatter),
+                _detach(u_gbin))
+            alpha_l = jnp.where(g_ok, guide_alpha, 1.0)
+            if mis:
+                ph_pdf = alpha_l * ph_pdf + (1.0 - alpha_l) * _guide_pdf(
+                    guide, _detach(p_scatter), _detach(ds.d))
         # surface side: BSDF value
         wo_local = its.to_local(ds.d)
         fcos = bsdf_eval(scene.materials, its.material_id, its.wi, wo_local)
@@ -155,6 +199,25 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
             medium.phase_kind, medium.phase_g, ray.d, _detach(u_scatter),
             fiber_axis=ph_axis, flake_coeffs=medium.flake_coeffs,
         )
+        w_med = jnp.ones(n)
+        if guide_sampling:
+            pick_g = g_ok & (_detach(u_gpick) >= alpha_l)
+            # a phase-sampling failure lane (pdf=0, e.g. gaussian-flake
+            # rejection exhaustion) stays dead unless the guide drew it
+            ph_dead = ~pick_g & (phase_p <= 0)
+            wo_mix = jnp.where(pick_g[:, None], g_dir, wo_phase)
+            ph_mix = phase_eval(medium.phase_kind, medium.phase_g, ray.d,
+                                wo_mix, fiber_axis=ph_axis,
+                                flake_coeffs=medium.flake_coeffs)
+            pg_mix = jnp.where(pick_g, g_pdf_s, _guide_pdf(
+                guide, _detach(p_scatter), _detach(wo_mix)))
+            q_mix = alpha_l * ph_mix + (1.0 - alpha_l) * pg_mix
+            wo_phase = wo_mix
+            # medium throughput weight: phase/q (1 when unguided since
+            # phase sampling is exact)
+            w_med = jnp.where((q_mix > 1e-12) & ~ph_dead,
+                              ph_mix / jnp.maximum(q_mix, 1e-12), 0.0)
+            phase_p = jnp.where(ph_dead, 0.0, q_mix)
         bs = bsdf_sample(
             scene.materials, its.material_id, its.wi,
             _detach(u_scatter), _detach(u_lobe),
@@ -173,7 +236,9 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
 
         new_thr = jnp.where(
             in_medium[:, None],
-            thr_med,                        # phase weight = 1 (exact sampling)
+            # phase weight: 1 for exact phase sampling; phase/q_mix when
+            # the guided mixture drew the direction
+            thr_med * w_med[:, None],
             thr_surf * bs["weight"],
         )
 
@@ -195,19 +260,26 @@ def volpath_trace(scene, medium, ray: Ray, sampler: Sampler, cfg: PathConfig,
             d=jnp.where(active[:, None], new_ray.d, ray.d),
         )
         return (L, throughput, ray, active, _detach(next_pdf), next_delta,
-                depth_count), None
+                depth_count, guide_mass), None
 
     body = jax.checkpoint(bounce) if cfg.remat else bounce
     carry, _ = jax.lax.scan(
         body, init,
         (u_ch, u_dist, u_nee_sel, u_nee_pos, u_scatter, u_lobe, u_rr,
-         wd_keys, is_last, do_rr),
+         u_gpick, u_gbin, wd_keys, is_last, do_rr),
     )
     L = carry[0]
-    return L, {"avg_path_length": jnp.mean(carry[6].astype(jnp.float32))}
+    aux = {"avg_path_length": jnp.mean(carry[6].astype(jnp.float32))}
+    if learn_guide and guide is not None:
+        from mitsuba_tpu.core.types import replace as _vreplace
+
+        aux["guide"] = _vreplace(guide, mass=carry[7])
+    return L, aux
 
 
-def render_volpath(scene, medium, cfg: PathConfig, seed: int = 0, mis: bool = True):
+def render_volpath(scene, medium, cfg: PathConfig, seed: int = 0,
+                   mis: bool = True, guide=None, learn_guide: bool = False,
+                   guide_alpha: float = 0.5, guide_sampling: bool = None):
     from mitsuba_tpu.render.sampler import sample_position
 
     w, h, spp = scene.width, scene.height, cfg.spp
@@ -222,9 +294,44 @@ def render_volpath(scene, medium, cfg: PathConfig, seed: int = 0, mis: bool = Tr
     offset = sample_position(cfg.pattern, sample_id, spp, jitter)
     uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h], axis=-1)
     ray = scene.camera.sample_ray(uv)
-    L, aux = volpath_trace(scene, medium, ray, sampler, cfg, seed=seed, mis=mis)
+    L, aux = volpath_trace(scene, medium, ray, sampler, cfg, seed=seed,
+                           mis=mis, guide=guide, learn_guide=learn_guide,
+                           guide_alpha=guide_alpha,
+                           guide_sampling=guide_sampling)
     img = L.reshape(h, w, spp, 3).mean(axis=2)
     return img, aux
+
+
+def render_volpath_guided(scene, medium, cfg: PathConfig, seed: int = 0,
+                          mis: bool = True, learn_frac: float = 0.5,
+                          guide_alpha: float = 0.5, res: int = 16):
+    """Volumetric path guiding: phase-1 learning pass + phase-2 guided
+    pass (see path.render_guided; here the mixture replaces PHASE
+    sampling at medium scatter events)."""
+    import dataclasses
+
+    import numpy as np
+
+    from mitsuba_tpu.integrators.guiding import make_guide
+
+    spp1 = max(1, int(round(cfg.spp * learn_frac)))
+    spp2 = max(0, cfg.spp - spp1)
+    v0 = np.asarray(scene.geom.v0)
+    ext = v0.max(0) - v0.min(0)
+    guide = make_guide(v0.min(0) - 0.01 * ext, v0.max(0) + 0.01 * ext,
+                       res=res)
+    img1, aux1 = render_volpath(scene, medium,
+                                dataclasses.replace(cfg, spp=spp1),
+                                seed=seed, mis=mis, guide=guide,
+                                learn_guide=True)
+    if spp2 == 0:
+        return img1, aux1
+    guide = aux1.pop("guide")
+    img2, aux2 = render_volpath(scene, medium,
+                                dataclasses.replace(cfg, spp=spp2),
+                                seed=seed + 7507, mis=mis, guide=guide,
+                                guide_alpha=guide_alpha)
+    return (img1 * spp1 + img2 * spp2) / (spp1 + spp2), aux2
 
 
 # ---------------------------------------------------------------------------

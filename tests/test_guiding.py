@@ -147,3 +147,28 @@ def test_progressive_guided_matches_unguided():
     # same total spp; different estimators -> compare means loosely
     assert abs(a.mean() - b.mean()) / a.mean() < 0.05
     assert np.isfinite(b).all()
+
+
+def test_volpath_guided_unbiased():
+    """Volumetric guiding (phase-side mixture): guided fog render
+    t-test-equal to the unguided volpath."""
+    from scipy.stats import ttest_ind
+
+    from mitsuba_tpu.integrators import PathConfig
+    from mitsuba_tpu.integrators.volpath import (
+        render_volpath, render_volpath_guided,
+    )
+    from mitsuba_tpu.media import make_homogeneous
+    from mitsuba_tpu.render.scene import cornell_box
+
+    # cornell is ~550 units across: keep optical depth ~1 over the box
+    scene = cornell_box(20, 20, backend="brute")
+    med = make_homogeneous((0.0015,) * 3, (0.0003,) * 3, g=0.4)
+    cfg = PathConfig(max_depth=6, spp=8, remat=False)
+    m_ref = np.asarray([np.asarray(render_volpath(scene, med, cfg,
+                                                  seed=s)[0]).mean()
+                        for s in range(6)])
+    m_gui = np.asarray([np.asarray(render_volpath_guided(
+        scene, med, cfg, seed=s)[0]).mean() for s in range(6)])
+    t, p = ttest_ind(m_ref, m_gui, equal_var=False)
+    assert p > 0.01, (m_ref.mean(), m_gui.mean(), t, p)
