@@ -96,8 +96,8 @@ def main():
     suite.append({"config": "1_cornell_brute_256", "value": round(m1, 3),
                   "unit": "Mrays/s", "vs_baseline": round(m1 / 50.0, 4)})
 
-    # specular box tessellates its glass sphere (~4k tris): too big for
-    # the brute kernel's SMEM triangle table -> cluster backend
+    # specular box: analytic glass sphere + 32 wall/block tris -> brute
+    # kernel + XLA-merged analytic primitives (auto picks brute)
     s2 = cornell_box_specular(512, 512, backend="auto")
     m2 = bench_scene(s2, spp=4, depth=5, morton=True)
     suite.append({"config": "2_specular_cornell_512", "value": round(m2, 3),

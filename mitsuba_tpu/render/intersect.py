@@ -736,11 +736,18 @@ def _use_pallas() -> bool:
 
 
 def _overflow_fb() -> str:
-    """Cluster-backend overflow fallback: 'xla' packed-row walk (default)
-    or 'pallas' packet-BVH kernel (env MTS_OVERFLOW_FB, A/B on hardware)."""
+    """Cluster-backend overflow fallback: 'pallas' packet-BVH kernel
+    (default) or 'xla' packed-row walk (env MTS_OVERFLOW_FB).
+
+    The XLA per-lane walk is only safe for near-empty fallback sets: on
+    ~1M-lane incoherent bounce wavefronts (depth>=3 diffuse bounces, where
+    most rows overflow the cull beams) its giant gather graph reproducibly
+    crashes the TPU worker process — measured on config-3, and the same
+    failure PERF_NOTES.md recorded for the pre-packing walk. The packet
+    kernel handles both extremes, so it is the default."""
     import os
 
-    return os.environ.get("MTS_OVERFLOW_FB", "xla")
+    return os.environ.get("MTS_OVERFLOW_FB", "pallas")
 
 
 def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
@@ -786,7 +793,12 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
         # non-overflow rows get mint>maxt -> their walk exits immediately)
         lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
             ray.mint <= ray.maxt)
-        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
+        # overflow lanes that DID find a hit hold an UPPER bound on the
+        # true nearest distance (the work-list tested a subset of
+        # clusters): cap the fallback walk's maxt with it so packet/walk
+        # traversal prunes everything behind the partial hit
+        fb_maxt = jnp.where(valid & jnp.isfinite(t), t, ray.maxt)
+        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, fb_maxt, -1.0))
         if _overflow_fb() == "pallas":
             # packet-BVH kernel fallback: cheaper when many rows overflow
             # (bounce wavefronts); the XLA walk exits in one iteration

@@ -389,8 +389,10 @@ def cornell_box_specular(width=256, height=256, backend="brute") -> Scene:
         mq([265, 0, 296], [265, 330, 296], [423, 330, 247], [423, 0, 247]),
     ]:
         b.add_shape(q, mirror)
-    # glass sphere floating between the blocks
-    b.add_shape(mesh_mod.make_sphere_mesh([160, 280, 170], 70.0, 32, 64), glass)
+    # glass sphere floating between the blocks — ANALYTIC (reference
+    # src/shapes/sphere.cpp:359): exact intersection, no tessellation, and
+    # the whole scene stays on the brute kernel (32 tris)
+    b.add_sphere([160, 280, 170], 70.0, glass)
 
     light = mesh_mod.make_quad([343, 548.7, 227], [343, 548.7, 332], [213, 548.7, 332], [213, 548.7, 227])
     b.add_area_emitter_shape(light, light_mat, (18.4, 15.6, 8.0))

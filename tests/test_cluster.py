@@ -318,7 +318,9 @@ def test_octant_sort_mode_matches_full(cluster_scene=None):
     from mitsuba_tpu.integrators import PathConfig, render
     from mitsuba_tpu.render.scene import cornell_box_specular
 
-    scene = cornell_box_specular(32, 32, backend="auto")
+    # force cluster: the analytic-sphere specular box is otherwise small
+    # enough that "auto" picks brute, and this test targets cluster sorting
+    scene = cornell_box_specular(32, 32, backend="cluster")
     a, _ = render(scene, PathConfig(max_depth=3, spp=2, sort_mode="full"))
     b, _ = render(scene, PathConfig(max_depth=3, spp=2, sort_mode="octant"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
