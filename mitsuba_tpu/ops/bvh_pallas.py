@@ -112,8 +112,14 @@ def _packet_body(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_,
         first = f_f.astype(jnp.int32)
         count = c_f.astype(jnp.int32)
         skip = s_f.astype(jnp.int32)
-        # slab test, scalar bbox vs ray vectors
-        t_cap = mx if shadow else st[1]
+        # slab test, scalar bbox vs ray vectors.  The closest walk prunes
+        # by min(best-t, maxt): without the maxt term, lanes whose maxt is
+        # already exceeded (dead fallback lanes carry maxt=-1; work-list
+        # overflow lanes carry an upper bound in maxt) traverse the FULL
+        # tree and only discard at the end — measured as the entire
+        # config-3 regression (0.5 Mrays/s: every bounce paid a whole-tree
+        # packet walk for lanes the work-list had already resolved).
+        t_cap = mx if shadow else jnp.minimum(st[1], mx)
         tx0 = (bminx - ox) * idx_
         tx1 = (bmaxx - ox) * idx_
         ty0 = (bminy - oy) * idy_
