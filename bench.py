@@ -84,6 +84,58 @@ def bench_scene(scene, spp: int, depth: int, rounds: int = 2,
     return rays_traced / best / 1e6
 
 
+def bench_backward(scene, spp: int, depth: int, rounds: int = 2):
+    """Forward vs forward+reverse-mode-AD cost on the differentiable
+    render (detached sampling; grads w.r.t. material reflectance).
+    Returns (spp/s of the grad step at this resolution, bwd/fwd ratio)."""
+    import jax
+
+    from mitsuba_tpu.core.types import replace
+    from mitsuba_tpu.integrators import PathConfig
+    from mitsuba_tpu.integrators.path import path_trace
+    from mitsuba_tpu.render.sampler import Sampler
+
+    w, h = scene.width, scene.height
+    cfg = PathConfig(max_depth=depth, spp=spp, remat=True)
+    n = w * h * spp
+    lane = jnp.arange(n)
+    pixel_id = lane // spp
+    sample_id = (lane % spp).astype(jnp.int32)
+
+    def loss(refl, scene, chain):
+        sc = replace(scene,
+                     materials=replace(scene.materials, reflectance=refl))
+        px = (pixel_id % w).astype(jnp.float32)
+        py = (pixel_id // w).astype(jnp.float32)
+        sampler = Sampler(0, pixel_id + chain.astype(jnp.int32), sample_id)
+        offset = sampler.next_2d()
+        uv = jnp.stack([(px + offset[:, 0]) / w, (py + offset[:, 1]) / h],
+                       -1)
+        ray = sc.camera.sample_ray(uv)
+        L, _aux = path_trace(sc, ray, sampler, cfg)
+        return jnp.mean(L)
+
+    fwd = jax.jit(loss)
+    vgrad = jax.jit(jax.value_and_grad(loss))
+
+    def timeit(fn, unpack):
+        chain = jnp.zeros((), jnp.float32)
+        out = fn(scene.materials.reflectance, scene, chain)
+        _ = float(unpack(out))
+        best = float("inf")
+        for _i in range(rounds):
+            chain = jnp.asarray(float(unpack(out)) * 0.0)
+            t0 = time.perf_counter()
+            out = fn(scene.materials.reflectance, scene, chain)
+            _ = float(unpack(out))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_fwd = timeit(fwd, lambda o: o)
+    t_bwd = timeit(vgrad, lambda o: o[0])
+    return spp * 1.0 / t_bwd, t_bwd / max(t_fwd, 1e-9)
+
+
 def main():
     from mitsuba_tpu.render.scene import (
         cornell_box, cornell_box_specular, textured_mesh_scene,
@@ -107,6 +159,17 @@ def main():
     m3 = bench_scene(s3, spp=4, depth=5, morton=True)
     suite.append({"config": "3_textured_mesh_cluster", "value": round(m3, 3),
                   "unit": "Mrays/s", "vs_baseline": round(m3 / 50.0, 4)})
+
+    # config 4 (BASELINE.md secondary metric): backward-pass overhead —
+    # value_and_grad of an image loss w.r.t. material reflectance vs the
+    # plain forward render, same wavefront, remat'd bounce loop
+    spp_s, ratio = bench_backward(s1, spp=16, depth=5)
+    suite.append({"config": "4_backward_overhead", "value": round(ratio, 3),
+                  "unit": "bwd/fwd ratio",
+                  "spp_per_s": round(spp_s, 1),
+                  # documented target: full reverse-mode AD at <= 3x the
+                  # forward cost (remat recomputes each bounce once)
+                  "vs_baseline": round(3.0 / max(ratio, 1e-6), 4)})
 
     print(json.dumps({
         "metric": "cornell_box_depth5_path_tracing",

@@ -58,8 +58,15 @@ _DET_EPS = 1e-12
 # env-overridable so TPU sweeps don't need code edits.
 import os as _os
 
-DEFAULT_W_FACTOR = int(_os.environ.get("MTS_WL_W_FACTOR", "16"))
-DEFAULT_L_SC = int(_os.environ.get("MTS_WL_L_SC", "24"))
+DEFAULT_W_FACTOR = int(_os.environ.get("MTS_WL_W_FACTOR", "48"))
+DEFAULT_L_SC = int(_os.environ.get("MTS_WL_L_SC", "48"))
+DEFAULT_BEAM_S2 = int(_os.environ.get("MTS_WL_BEAM_S2", "16"))
+
+# scalar-prefetch arrays live in SMEM (1 MB total); the packed item list
+# is the big one. Cap items per pallas_call and split the wavefront into
+# row-chunks when w_cap would exceed it (wide beams on bounce wavefronts
+# otherwise die with 'Allocation would exceed memory (space=smem)').
+MAX_ITEMS_PER_CALL = int(_os.environ.get("MTS_WL_MAX_ITEMS", "131072"))
 
 # packed work-item layout (int32): [0:14] cid, [14] first, [15] valid,
 # [16:31] row
@@ -139,9 +146,9 @@ def _beam_stage(bmin_g, bmax_g, ids, ok_in, beam, row_ctx):
             count)
 
 
-@functools.partial(jax.jit, static_argnames=("w_cap", "l_sc"))
+@functools.partial(jax.jit, static_argnames=("w_cap", "l_sc", "beam_s2"))
 def build_worklist(rays, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
-                   w_cap: int, l_sc: int = 16):
+                   w_cap: int, l_sc: int = 16, beam_s2: int = 8):
     """Build the flat (row, cluster) work list by hierarchical beam cull.
 
     Three levels, all with NARROW per-row sorts (width ≤ 8·l_sc):
@@ -165,7 +172,7 @@ def build_worklist(rays, cl_bmin, cl_bmax, sc_bmin, sc_bmax,
     # S2 level: groups of 8 consecutive superclusters (BVH order keeps
     # them spatially tight); boxes built in-jit from the SC boxes
     c_s2 = -(-c_s // 8)
-    beam_s2 = min(8, c_s2)
+    beam_s2 = min(beam_s2, c_s2)
     l_sc = min(l_sc, beam_s2 * 8, c_s)
     pad = c_s2 * 8 - c_s
     s2_bmin = jnp.pad(sc_bmin, ((0, pad), (0, 0)),
@@ -436,13 +443,15 @@ def _make_probe_kernel(k_cl):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w_factor", "l_sc", "interpret"))
+                   static_argnames=("w_factor", "l_sc", "beam_s2",
+                                    "interpret"))
 def wl_probe(geom_cl, o, d, mint, maxt, w_factor: int = 16,
-             l_sc: int = 24, interpret: bool = False):
+             l_sc: int = 24, beam_s2: int = None,
+             interpret: bool = False):
     """Fixed-cost probe (diagnostic only)."""
     out, n, overflow = _call(
         _make_probe_kernel(geom_cl["tri"].shape[1]), jnp.float32,
-        geom_cl, o, d, mint, maxt, w_factor, l_sc, interpret)
+        geom_cl, o, d, mint, maxt, w_factor, l_sc, beam_s2, interpret)
     return out[:, 0, :].reshape(-1)[:n], overflow
 
 
@@ -514,14 +523,37 @@ def _xf_spec():
 
 
 def _call(kernel, out_dtype, geom_cl, o, d, mint, maxt, w_factor, l_sc,
-          interpret=False):
+          beam_s2=None, interpret=False):
+    """Chunked dispatch: the packed item list is a scalar-prefetch (SMEM)
+    operand, so items per pallas_call are capped at MAX_ITEMS_PER_CALL;
+    wide beams on large wavefronts split into sequential row-chunks."""
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
+    if beam_s2 is None:
+        beam_s2 = DEFAULT_BEAM_S2
+    chunk_rows = max(1, min(n_rows, MAX_ITEMS_PER_CALL // max(w_factor, 1),
+                            MAX_ROWS))
+    outs, ovfs = [], []
+    for r0 in range(0, n_rows, chunk_rows):
+        o_c, ov_c = _call_chunk(kernel, out_dtype, geom_cl,
+                                rays[r0:r0 + chunk_rows], w_factor, l_sc,
+                                beam_s2, interpret)
+        outs.append(o_c)
+        ovfs.append(ov_c)
+    if len(outs) == 1:
+        return outs[0], n, ovfs[0]
+    return (jnp.concatenate(outs, axis=0), n,
+            jnp.concatenate(ovfs, axis=0))
+
+
+def _call_chunk(kernel, out_dtype, geom_cl, rays, w_factor, l_sc, beam_s2,
+                interpret=False):
+    n_rows = rays.shape[0]
     k_cl = geom_cl["tri"].shape[1]
     instanced = geom_cl.get("block_id") is not None
     w_cap = n_rows * w_factor
     items, total, overflow = build_worklist(
         rays, geom_cl["bmin"], geom_cl["bmax"],
-        geom_cl["sc_bmin"], geom_cl["sc_bmax"], w_cap, l_sc)
+        geom_cl["sc_bmin"], geom_cl["sc_bmax"], w_cap, l_sc, beam_s2)
     n_pref = 3 if instanced else 2
     in_specs = [_tri_spec(k_cl, n_pref)]
     operands = [items]
@@ -553,13 +585,15 @@ def _call(kernel, out_dtype, geom_cl, o, d, mint, maxt, w_factor, l_sc,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*operands, *arrays)
-    return out, n, overflow
+    return out, overflow
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w_factor", "l_sc", "interpret"))
+                   static_argnames=("w_factor", "l_sc", "beam_s2",
+                                    "interpret"))
 def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
-               l_sc: int = 24, interpret: bool = False):
+               l_sc: int = 24, beam_s2: int = None,
+               interpret: bool = False):
     """Closest hit. geom_cl: dict with tri (C,K,16) f32, tri_start (C,)
     i32, bmin/bmax (C,3) f32, sc_bmin/sc_bmax (C_s,3) f32.
     Returns (t, u, v, prim, valid, overflow (n_rows,) bool) — lanes in
@@ -569,7 +603,7 @@ def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
         _make_closest_kernel(geom_cl["tri"].shape[1],
                              geom_cl.get("block_id") is not None),
         jnp.float32,
-        geom_cl, o, d, mint, maxt, w_factor, l_sc, interpret)
+        geom_cl, o, d, mint, maxt, w_factor, l_sc, beam_s2, interpret)
     t = out[:, 0, :].reshape(-1)[:n]
     u = out[:, 1, :].reshape(-1)[:n]
     v = out[:, 2, :].reshape(-1)[:n]
@@ -580,14 +614,16 @@ def wl_closest(geom_cl, o, d, mint, maxt, w_factor: int = 16,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w_factor", "l_sc", "interpret"))
+                   static_argnames=("w_factor", "l_sc", "beam_s2",
+                                    "interpret"))
 def wl_any(geom_cl, o, d, mint, maxt, w_factor: int = 16,
-           l_sc: int = 24, interpret: bool = False):
+           l_sc: int = 24, beam_s2: int = None,
+           interpret: bool = False):
     """Shadow/any-hit query. Returns (occluded bool mask,
     overflow (n_rows,) bool — see wl_closest)."""
     out, n, overflow = _call(
         _make_any_kernel(geom_cl["tri"].shape[1],
                          geom_cl.get("block_id") is not None), jnp.int32,
-        geom_cl, o, d, mint, maxt, w_factor, l_sc, interpret)
+        geom_cl, o, d, mint, maxt, w_factor, l_sc, beam_s2, interpret)
     occ = out[:, 0, :].reshape(-1)[:n]
     return occ.astype(bool), overflow

@@ -119,6 +119,18 @@ class GeometryTables:
         return d
 
     @property
+    def st_tables(self):
+        """Tables for the per-row streaming kernel (ops/stream_pallas.py):
+        the MT cluster blocks regrouped by supercluster (C is padded to a
+        multiple of 8 at build, so this is a free reshape)."""
+        C, K, _ = self.mt_tri.shape
+        return dict(
+            sc_tri=self.mt_tri.reshape(C // 8, 8 * K, 16),
+            sc_bmin=self.cl_sc_bmin, sc_bmax=self.cl_sc_bmax,
+            tri_start=self.mt_start,
+        )
+
+    @property
     def n_tris(self):
         return self.v0.shape[0]
 
@@ -735,6 +747,14 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _stream_on() -> bool:
+    """Work-list v4 (per-row ordered streaming) kill switch: set
+    MTS_STREAM=0 to fall back to the v2/v3 item-grid work-list."""
+    import os
+
+    return os.environ.get("MTS_STREAM", "1") != "0"
+
+
 def _overflow_fb() -> str:
     """Cluster-backend overflow fallback: 'pallas' packet-BVH kernel
     (default) or 'xla' packed-row walk (env MTS_OVERFLOW_FB).
@@ -782,7 +802,16 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
             emitter_id=jnp.where(valid, r["emitter_id"], -1),
             shape_id=jnp.where(valid, r["shape_id"], -1),
         )
-    if geom.backend == "cluster" and _use_pallas():
+    if geom.backend == "cluster" and _use_pallas() \
+            and not geom.has_instances and _stream_on():
+        # per-row ordered streaming kernel (work-list v4): complete
+        # front-to-back SC lists + run-time early exit — no overflow,
+        # no fallback (ops/stream_pallas.py)
+        from mitsuba_tpu.ops import stream_pallas as sp
+
+        t, u, v, prim, valid = sp.stream_closest(
+            geom.st_tables, ray.o, ray.d, ray.mint, ray.maxt)
+    elif geom.backend == "cluster" and _use_pallas():
         from mitsuba_tpu.ops import worklist_pallas as wp
 
         t, u, v, prim, valid, ovf = wp.wl_closest(
@@ -987,6 +1016,12 @@ def _ray_intersect_and_test_tri(geom: GeometryTables, ray: Ray,
 
 
 def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
+    if geom.backend == "cluster" and _use_pallas() \
+            and not geom.has_instances and _stream_on():
+        from mitsuba_tpu.ops import stream_pallas as sp
+
+        return sp.stream_any(geom.st_tables, ray.o, ray.d, ray.mint,
+                             ray.maxt)
     if geom.backend == "cluster" and _use_pallas():
         from mitsuba_tpu.ops import worklist_pallas as wp
 

@@ -97,7 +97,19 @@ def main():
         oc = ((d[:, 0] > 0).astype(np.uint64)
               + 2 * (d[:, 1] > 0).astype(np.uint64)
               + 4 * (d[:, 2] > 0).astype(np.uint64))
-        return (oc << np.uint64(30)) | mo
+        db = int(os.environ.get("MTS_DIR_BITS", "0"))
+        if db == 0:
+            return (oc << np.uint64(30)) | mo
+        # sub-octant direction bits: quantize |d| per axis to db bits,
+        # morton-interleave, place ABOVE the origin morton code
+        lvl = (1 << db) - 1
+        dq = np.clip(np.abs(d) * (lvl + 0.999), 0, lvl).astype(np.uint64)
+        dm = np.zeros(d.shape[0], np.uint64)
+        for b in range(db):
+            for ax in range(3):
+                dm |= (((dq[:, ax] >> np.uint64(b)) & np.uint64(1))
+                       << np.uint64(3 * b + ax))
+        return (oc << np.uint64(30 + 3 * db)) | (dm << np.uint64(30)) | mo
 
     order = np.argsort(mkey(o_b, d_b), kind="stable")
     o_s = jnp.asarray(o_b[order])
@@ -116,18 +128,18 @@ def main():
         s, _ = jax.lax.scan(step, jnp.zeros(()), None, length=K_IT)
         return s
 
-    t = timed(fb, o_s, d_s)
+    t = 0.0 if True else timed(fb, o_s, d_s)
     print(f"1. packet-BVH fallback: {t*1e3/K_IT:.1f} ms/1M bounce rays",
           flush=True)
 
     # 2+3. wl_closest and build at several beams
-    for l_sc, wf in ((24, 16), (32, 24), (48, 48), (64, 64)):
+    for l_sc, wf in ((32, 32), (48, 48)):
         @jax.jit
         def wl(o, d, _l=l_sc, _w=wf):
             def step(s, _):
                 t, u, v, p, ok, ovf = wp.wl_closest(
                     geom_cl, o + s * 0.0, d, mint, maxt,
-                    w_factor=_w, l_sc=_l)
+                    w_factor=_w, l_sc=_l, beam_s2=16)
                 return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)) * 1e-30, \
                     jnp.mean(ovf.astype(jnp.float32))
             s, ov = jax.lax.scan(step, jnp.zeros(()), None, length=K_IT)
@@ -141,7 +153,7 @@ def main():
                 items, total, overflow = wp.build_worklist(
                     rays + s * 0.0, geom_cl["bmin"], geom_cl["bmax"],
                     geom_cl["sc_bmin"], geom_cl["sc_bmax"],
-                    n_rows * _w, _l)
+                    min(n_rows * _w, wp.MAX_ITEMS_PER_CALL), _l, 16)
                 return (total.astype(jnp.float32) * 1e-30
                         + items[0].astype(jnp.float32) * 1e-30), total
             s, tot = jax.lax.scan(step, jnp.zeros(()), None, length=K_IT)

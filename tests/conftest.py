@@ -19,3 +19,23 @@ assert jax.device_count() == 8, (
     "expected 8 virtual CPU devices; jax backend was initialized before "
     "conftest could reconfigure it"
 )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    Round-2 finding: a single-process run of the whole suite segfaulted
+    inside XLA CPU compilation (jax/_src/compiler.py backend_compile_and_
+    load) after ~150 jit programs — compiler memory growth across
+    hundreds of live executables. Bounding the live-cache to one module
+    keeps the process healthy; within-module caching (the hot path for
+    parametrized tests) is unaffected.
+    """
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
