@@ -96,27 +96,29 @@ def build_sc_lists(rays, sc_bmin, sc_bmax):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _mt_chunks_buf(buf, slot, base, rays, mnb, t_cap, k_cl):
-    """Möller–Trumbore over the k_cl/8 sublane chunks of cluster block
-    `base` inside the double-buffer scratch (same math as
-    worklist_pallas._mt_chunks, indexing a (2, 8*K, 16) scratch)."""
+def _mt_chunks_buf(buf, slot, k, rays, mnb, t_cap, k_cl):
+    """Möller–Trumbore over the k_cl/8 sublane chunks of cluster `k`
+    inside the double-buffer scratch (same math as
+    worklist_pallas._mt_chunks). Scratch layout (2, K, 128): sublane =
+    tri slot within cluster, lane = cluster*16 + field."""
     ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    c0 = k * 16
     t_runs = [jnp.full((8, LANES), _BIG, jnp.float32) for _ in range(2)]
     k_runs = [jnp.zeros((8, LANES), jnp.int32) for _ in range(2)]
     u_runs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(2)]
     v_runs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(2)]
     for j in range(k_cl // 8):
-        r0 = base + j * 8
-        v0x = buf[slot, r0:r0 + 8, 0:1]
-        v0y = buf[slot, r0:r0 + 8, 1:2]
-        v0z = buf[slot, r0:r0 + 8, 2:3]
-        e1x = buf[slot, r0:r0 + 8, 3:4]
-        e1y = buf[slot, r0:r0 + 8, 4:5]
-        e1z = buf[slot, r0:r0 + 8, 5:6]
-        e2x = buf[slot, r0:r0 + 8, 6:7]
-        e2y = buf[slot, r0:r0 + 8, 7:8]
-        e2z = buf[slot, r0:r0 + 8, 8:9]
+        r0 = j * 8
+        v0x = buf[slot, r0:r0 + 8, c0 + 0:c0 + 1]
+        v0y = buf[slot, r0:r0 + 8, c0 + 1:c0 + 2]
+        v0z = buf[slot, r0:r0 + 8, c0 + 2:c0 + 3]
+        e1x = buf[slot, r0:r0 + 8, c0 + 3:c0 + 4]
+        e1y = buf[slot, r0:r0 + 8, c0 + 4:c0 + 5]
+        e1z = buf[slot, r0:r0 + 8, c0 + 5:c0 + 6]
+        e2x = buf[slot, r0:r0 + 8, c0 + 6:c0 + 7]
+        e2y = buf[slot, r0:r0 + 8, c0 + 7:c0 + 8]
+        e2z = buf[slot, r0:r0 + 8, c0 + 8:c0 + 9]
         pvx = dy * e2z - dz * e2y
         pvy = dz * e2x - dx * e2z
         pvz = dx * e2y - dy * e2x
@@ -146,16 +148,17 @@ def _mt_chunks_buf(buf, slot, base, rays, mnb, t_cap, k_cl):
             jnp.where(sel, v_runs[1], v_runs[0]))
 
 
-def _slab_buf(buf, slot, base, rays, tb, mnb):
-    """(1,128) per-lane can-improve test against the cluster AABB
-    embedded in block row `base` cols 9:15."""
+def _slab_buf(buf, slot, k, rays, tb, mnb):
+    """(1,128) per-lane can-improve test against cluster k's AABB
+    (embedded in sublane 0, lanes k*16+9 .. k*16+14)."""
     o = (rays[0:1, :], rays[1:2, :], rays[2:3, :])
     d = (rays[3:4, :], rays[4:5, :], rays[5:6, :])
+    c0 = k * 16
     tn = mnb
     tf = tb
     for j in range(3):
-        bmin = buf[slot, base:base + 1, 9 + j:10 + j]
-        bmax = buf[slot, base:base + 1, 12 + j:13 + j]
+        bmin = buf[slot, 0:1, c0 + 9 + j:c0 + 10 + j]
+        bmax = buf[slot, 0:1, c0 + 12 + j:c0 + 13 + j]
         inv = jnp.where(d[j] >= 0, 1.0, -1.0) / jnp.maximum(
             jnp.abs(d[j]), 1e-12)
         t0 = (bmin - o[j]) * inv
@@ -173,8 +176,8 @@ def _prim_cand(k_run):
 def _make_stream_kernel(k_cl: int, sc_cl: int, any_hit: bool):
     """Per-row streaming kernel. Block operands:
     ids (1, L) SMEM, tns (1, L) SMEM, rays (1, 8, 128) VMEM,
-    tri (c_s, sc_cl*k_cl, 16) ANY (manually DMA'd), out (1,8,128) VMEM;
-    scratch: buf (2, sc_cl*k_cl, 16) VMEM, sem DMA((2,))."""
+    tri (c_s, K, 128) HBM (one aligned 16 KB DMA per SC),
+    out (1,8,128) VMEM; scratch: buf (2, K, 128), sem DMA((2,))."""
     rows_per_sc = sc_cl * k_cl
 
     def kernel(ids_ref, tns_ref, rays_ref, tri_ref, out_ref, buf, sem):
@@ -182,15 +185,25 @@ def _make_stream_kernel(k_cl: int, sc_cl: int, any_hit: bool):
         mnb = rays[6:7, :]
         maxt = rays[7:8, :]
 
-        def dma(i, slot):
-            return pltpu.make_async_copy(
-                tri_ref.at[ids_ref[0, 0, i]], buf.at[slot], sem.at[slot])
+        def dma_start(i, slot):
+            # one aligned (K, 128) copy per SC: lane dim = cluster*16 +
+            # field (Mosaic pads HBM minor dims to 128-lane tiling, so
+            # any 16-wide slice shape is un-DMA-able — the SC block is
+            # re-laid-out host-side to make the full block lane-exact)
+            pltpu.make_async_copy(
+                tri_ref.at[ids_ref[0, 0, i]], buf.at[slot],
+                sem.at[slot]).start()
+
+        def dma_wait(i, slot):
+            pltpu.make_async_copy(
+                tri_ref.at[ids_ref[0, 0, i]], buf.at[slot],
+                sem.at[slot]).wait()
 
         valid0 = tns_ref[0, 0, 0] < _SENT
 
         @pl.when(valid0)
         def _():
-            dma(0, 0).start()
+            dma_start(0, 0)
 
         if any_hit:
             acc0 = (jnp.zeros((1, LANES), jnp.int32),)
@@ -216,14 +229,14 @@ def _make_stream_kernel(k_cl: int, sc_cl: int, any_hit: bool):
 
             @pl.when(has_next)
             def _():
-                dma(i + 1, 1 - slot).start()
+                dma_start(i + 1, 1 - slot)
 
-            dma(i, slot).wait()
+            dma_wait(i, slot)
             if any_hit:
                 (occ,) = acc
                 for k in range(sc_cl):
                     t_run, _k, _u, _v = _mt_chunks_buf(
-                        buf, slot, k * k_cl, rays, mnb,
+                        buf, slot, k, rays, mnb,
                         jnp.where(occ > 0, mnb, maxt), k_cl)
                     hit = jnp.max((t_run < _BIG).astype(jnp.int32),
                                   axis=0, keepdims=True)
@@ -237,7 +250,7 @@ def _make_stream_kernel(k_cl: int, sc_cl: int, any_hit: bool):
                 def visit(k, acc_in):
                     tb, ub, vb, pb = acc_in
                     t_run, k_run, u_run, v_run = _mt_chunks_buf(
-                        buf, slot, k * k_cl, rays, mnb, tb, k_cl)
+                        buf, slot, k, rays, mnb, tb, k_cl)
                     tmin = jnp.min(t_run, axis=0, keepdims=True)
                     improved = tmin < tb
                     pc = _prim_cand(k_run)
@@ -259,8 +272,7 @@ def _make_stream_kernel(k_cl: int, sc_cl: int, any_hit: bool):
                 for k in range(sc_cl):
                     # skip the MT sweep when no lane can improve inside
                     # this cluster's AABB (embedded in the block)
-                    can = _slab_buf(buf, slot, k * k_cl, rays, acc[0],
-                                    mnb)
+                    can = _slab_buf(buf, slot, k, rays, acc[0], mnb)
                     acc = jax.lax.cond(
                         jnp.max(can.astype(jnp.int32)) > 0,
                         lambda a, k=k: visit(k, a), lambda a: a, acc)
@@ -275,7 +287,7 @@ def _make_stream_kernel(k_cl: int, sc_cl: int, any_hit: bool):
         # a prefetched-but-unconsumed DMA must still be waited on
         @pl.when(pending_f)
         def _():
-            dma(i_f, jax.lax.rem(i_f, 2)).wait()
+            dma_wait(i_f, jax.lax.rem(i_f, 2))
 
         if any_hit:
             out_ref[0, 0:1, :] = acc_f[0].astype(jnp.float32)
@@ -295,9 +307,9 @@ def _call_stream(geom_st, o, d, mint, maxt, any_hit: bool,
                  interpret: bool = False):
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
     ids, tns = build_sc_lists(rays, geom_st["sc_bmin"], geom_st["sc_bmax"])
-    tri = geom_st["sc_tri"]                 # (c_s, SC_GROUP*k_cl, 16)
+    tri = geom_st["sc_tri"]        # (c_s, K, 128): lane = cluster*16+field
     sc_cl = SC_GROUP
-    k_cl = tri.shape[1] // sc_cl
+    k_cl = tri.shape[1]
     L = ids.shape[2]
     out = pl.pallas_call(
         _make_stream_kernel(k_cl, sc_cl, any_hit),
@@ -309,13 +321,13 @@ def _call_stream(geom_st, o, d, mint, maxt, any_hit: bool,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, LANES), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, 8, LANES), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, 8, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, sc_cl * k_cl, 16), jnp.float32),
+            pltpu.VMEM((2, k_cl, 8 * 16), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -328,8 +340,8 @@ def _call_stream(geom_st, o, d, mint, maxt, any_hit: bool,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def stream_closest(geom_st, o, d, mint, maxt, interpret: bool = False):
     """Closest hit via per-row ordered streaming. geom_st: dict with
-    sc_tri (c_s, 8*K, 16) f32, sc_bmin/sc_bmax (c_s, 3), tri_start (C,)
-    i32. Returns (t, u, v, prim, valid) — NO
+    sc_tri (c_s, K, 128) f32 SC blocks, sc_bmin/sc_bmax (c_s, 3),
+    tri_start (C,) i32. Returns (t, u, v, prim, valid) — NO
     overflow: lists are complete."""
     out, n = _call_stream(geom_st, o, d, mint, maxt, any_hit=False,
                           interpret=interpret)
@@ -341,7 +353,7 @@ def stream_closest(geom_st, o, d, mint, maxt, interpret: bool = False):
     valid = vp >= 0
     # virtual (cluster*K + local) -> true prim index: clusters hold
     # variable true counts, tri_start maps each to its soup base
-    k_cl = geom_st["sc_tri"].shape[1] // SC_GROUP
+    k_cl = geom_st["sc_tri"].shape[1]
     starts = geom_st["tri_start"]
     vcid = jnp.clip(jnp.where(valid, vp, 0) // k_cl, 0,
                     starts.shape[0] - 1)

@@ -120,12 +120,17 @@ class GeometryTables:
 
     @property
     def st_tables(self):
-        """Tables for the per-row streaming kernel (ops/stream_pallas.py):
-        the MT cluster blocks regrouped by supercluster (C is padded to a
-        multiple of 8 at build, so this is a free reshape)."""
-        C, K, _ = self.mt_tri.shape
+        """Tables for the per-row streaming kernel (ops/stream_pallas.py).
+        SC block layout (c_s, K, 128): sublane = tri slot, lane =
+        cluster_in_sc*16 + field — the full block is 128-lane exact, so
+        the kernel's manual HBM->VMEM DMA slices stay tile-aligned
+        (Mosaic pads HBM minor dims to (1,128) tiling; any 16-wide slice
+        shape is rejected)."""
+        C, K, F = self.mt_tri.shape
+        sc_tri = self.mt_tri.reshape(C // 8, 8, K, F).transpose(
+            0, 2, 1, 3).reshape(C // 8, K, 8 * F)
         return dict(
-            sc_tri=self.mt_tri.reshape(C // 8, 8 * K, 16),
+            sc_tri=sc_tri,
             sc_bmin=self.cl_sc_bmin, sc_bmax=self.cl_sc_bmax,
             tri_start=self.mt_start,
         )
