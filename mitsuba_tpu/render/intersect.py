@@ -102,11 +102,27 @@ class GeometryTables:
     cyl_mid: jnp.ndarray = None
     cyl_eid: jnp.ndarray = None
     cyl_sid: jnp.ndarray = None
+    # exact-cull item-stream tables (ops/exact_pallas.py, v5): K8
+    # clusters with an 8x box hierarchy (K8 -> 64-tri -> 512-tri)
+    ex_tri: jnp.ndarray = None       # (C8, 8, 128) f32, lane 15 = prim
+    ex_b0lo: jnp.ndarray = None      # (C8, 3) K8 cluster AABBs
+    ex_b0hi: jnp.ndarray = None
+    ex_b1lo: jnp.ndarray = None      # (C8/8, 3)
+    ex_b1hi: jnp.ndarray = None
+    ex_b2lo: jnp.ndarray = None      # (C8/64, 3)
+    ex_b2hi: jnp.ndarray = None
     backend: str = static_field(default="brute")
 
     @property
     def has_instances(self):
         return self.mt_block_id is not None
+
+    @property
+    def ex_tables(self):
+        return dict(tri=self.ex_tri,
+                    b0_lo=self.ex_b0lo, b0_hi=self.ex_b0hi,
+                    b1_lo=self.ex_b1lo, b1_hi=self.ex_b1hi,
+                    b2_lo=self.ex_b2lo, b2_hi=self.ex_b2hi)
 
     @property
     def wl_tables(self):
@@ -241,6 +257,30 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
             cl_sc_bmax=jnp.asarray(mt.sc_bmax),
             mt_k=K,
         )
+        if not (instanced and instanced[1]):
+            # exact-cull (v5) tables: an independent K=8 cut with an
+            # 8x AABB hierarchy; prim ids embedded in the tri blocks
+            mt8 = build_mt_tables(
+                tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0],
+                cut_clusters(bvh.first, bvh.count, bvh.skip, f.shape[0],
+                             max_k=8), k=8, sc_group=64)
+            C8 = mt8.bmin.shape[0]
+            tri128 = np.zeros((C8, 8, 128), np.float32)
+            tri128[:, :, :9] = mt8.tri[:, :, :9]
+            prim8 = (mt8.tri_start[:, None]
+                     + np.arange(8, dtype=np.int32)[None]).astype(np.int32)
+            tri128[:, :, 15] = prim8.view(np.float32)
+            cl.update(
+                ex_tri=jnp.asarray(tri128),
+                ex_b0lo=jnp.asarray(mt8.bmin),
+                ex_b0hi=jnp.asarray(mt8.bmax),
+                ex_b1lo=jnp.asarray(mt8.bmin.reshape(C8 // 8, 8, 3).min(1)),
+                ex_b1hi=jnp.asarray(mt8.bmax.reshape(C8 // 8, 8, 3).max(1)),
+                ex_b2lo=jnp.asarray(
+                    mt8.bmin.reshape(C8 // 64, 64, 3).min(1)),
+                ex_b2hi=jnp.asarray(
+                    mt8.bmax.reshape(C8 // 64, 64, 3).max(1)),
+            )
         if instanced and instanced[1]:
             groups, instances = instanced
             group_mts = []
