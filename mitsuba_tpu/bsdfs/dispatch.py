@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mitsuba_tpu.bsdfs import irawan as ir
 from mitsuba_tpu.bsdfs import models as md
 from mitsuba_tpu.bsdfs.table import (
     CLOTH,
@@ -46,7 +47,7 @@ _MODELS = {
     DIFF_TRANS: (md.difftrans_eval, md.difftrans_pdf, md.difftrans_sample),
     WISCOMBE: (md.wiscombe_eval, md.wiscombe_pdf, md.wiscombe_sample),
     HANRAHAN_KRUEGER: (md.hk_eval, md.hk_pdf, md.hk_sample),
-    CLOTH: (md.cloth_eval, md.cloth_pdf, md.cloth_sample),
+    CLOTH: (ir.irawan_eval, ir.irawan_pdf, ir.irawan_sample),
 }
 
 _NO_FLIP_KINDS = (DIELECTRIC, ROUGH_GLASS)  # genuinely two-sided already

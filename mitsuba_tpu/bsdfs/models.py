@@ -550,83 +550,3 @@ def hk_sample(p, wi, u2, u1):
     return s
 
 
-# ---------------------------------------------------------------------------
-# Irawan-style woven cloth  (src/bsdfs/irawan.cpp + irawan.h WeavePattern)
-# ---------------------------------------------------------------------------
-# Capability re-design: the reference loads WeavePattern files of yarn
-# segments and evaluates Irawan's yarn-scattering model. Here the weave is
-# procedural (plain / 2x2 twill selected by dist_type; repeatU/V in the
-# exponent/eta slots) and each yarn shades as diffuse + a Ward-style
-# anisotropic highlight aligned with the yarn tangent — warp yarns run
-# along u (local x), weft along v (local y). Pattern-file loading is a
-# noted round-2 item; colors: reflectance = warp kd, cond_eta = weft kd,
-# specular = ks. Requires per-lane uv in p["_uv"].
-
-def _cloth_yarn(p, wi):
-    """Returns is_warp (N,) from the weave pattern at p['_uv'].
-    dist_type 0 = plain, 1 = 2x2 twill (procedural), 2 = explicit tile grid
-    bit-packed from a weave-pattern file (table.irawan_file; tile dims in
-    transmittance[0:2], 4x16-bit words in transmittance[2] + cond_k)."""
-    uv = p.get("_uv")
-    if uv is None:
-        return jnp.ones(wi.shape[:-1], bool)
-    iu = jnp.floor(uv[..., 0] * p["exponent"]).astype(jnp.int32)
-    iv = jnp.floor(uv[..., 1] * p["eta"]).astype(jnp.int32)
-    plain = (iu + iv) % 2 == 0
-    twill = ((iu - 2 * iv) % 4) < 2
-    # explicit grid (pattern-file cloth)
-    tw = jnp.maximum(jnp.round(p["transmittance"][..., 0]).astype(jnp.int32), 1)
-    th = jnp.maximum(jnp.round(p["transmittance"][..., 1]).astype(jnp.int32), 1)
-    gx = jnp.mod(iu, tw)
-    gy = jnp.mod(iv, th)
-    idx = gy * tw + gx                       # 0..63
-    word_i = idx // 16
-    bit_i = idx % 16
-    words = jnp.stack([
-        jnp.round(p["transmittance"][..., 2]),
-        jnp.round(p["cond_k"][..., 0]),
-        jnp.round(p["cond_k"][..., 1]),
-        jnp.round(p["cond_k"][..., 2]),
-    ], axis=-1).astype(jnp.int32)            # (..., 4)
-    word = jnp.sum(jnp.where(
-        jnp.arange(4) == word_i[..., None], words, 0), axis=-1)
-    gridded = ((word >> bit_i) & 1) == 1
-    return jnp.where(p["dist_type"] == 2, gridded,
-                     jnp.where(p["dist_type"] == 1, twill, plain))
-
-
-def cloth_eval(p, wi, wo):
-    upper = _both_upper(wi, wo)
-    is_warp = _cloth_yarn(p, wi)
-    kd = jnp.where(is_warp[..., None], p["reflectance"], p["cond_eta"])
-    # yarn-aligned anisotropic highlight: swap alpha axes for weft
-    au = jnp.where(is_warp, p["alpha_u"], p["alpha_v"])
-    av = jnp.where(is_warp, p["alpha_v"], p["alpha_u"])
-    ci = jnp.maximum(m.cos_theta(wi), 1e-6)
-    co = jnp.maximum(m.cos_theta(wo), 1e-6)
-    h = wi + wo
-    hz2 = jnp.maximum(h[..., 2] * h[..., 2], 1e-12)
-    exp_term = jnp.exp(-((h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2) / hz2)
-    spec = p["specular"] * (
-        exp_term / (4.0 * jnp.pi * au * av * jnp.sqrt(ci * co))
-    )[..., None]
-    return _mask3(upper, (kd * m.INV_PI + spec) * co[..., None])
-
-
-def cloth_pdf(p, wi, wo):
-    return lambertian_pdf(p, wi, wo)
-
-
-def cloth_sample(p, wi, u2, u1):
-    wo = warp.square_to_cosine_hemisphere(u2)
-    pdf = warp.square_to_cosine_hemisphere_pdf(wo)
-    valid = (m.cos_theta(wi) > 0) & (pdf > 0)
-    fcos = cloth_eval(p, wi, wo)
-    s = _zero_sample(wi)
-    s.update(
-        wo=wo,
-        weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-9)[..., None]),
-        pdf=jnp.where(valid, pdf, 0.0),
-        valid=valid,
-    )
-    return s

@@ -60,6 +60,8 @@ class MaterialTable:
     opacity: jnp.ndarray        # (M,) mask adapter: 1 = opaque
     child_ids: jnp.ndarray = None      # (M, 4) composite child rows, -1 pad
     child_weights: jnp.ndarray = None  # (M, 4) composite lobe weights
+    cloth_slot: jnp.ndarray = None     # (M,) index into cloth tables, -1
+    cloth: dict = None                 # shared weave tables (irawan.py)
     kinds_present: tuple = static_field(default=((LAMBERTIAN, 0),))
     has_composite: bool = static_field(default=False)
 
@@ -90,7 +92,7 @@ class MaterialTable:
                 axis=1,
             )
             rows = onehot @ packed
-            return {
+            out = {
                 "reflectance": rows[:, 0:3],
                 "specular": rows[:, 3:6],
                 "transmittance": rows[:, 6:9],
@@ -106,7 +108,11 @@ class MaterialTable:
                 "tex_id": jnp.round(rows[:, 22]).astype(jnp.int32),
                 "two_sided": rows[:, 23] > 0.5,
             }
-        return {
+            if self.cloth is not None:
+                out["_cloth"] = self.cloth
+                out["_cloth_slot"] = self.cloth_slot[i]
+            return out
+        out = {
             "kind": self.kind[i],
             "reflectance": self.reflectance[i],
             "specular": self.specular[i],
@@ -122,6 +128,10 @@ class MaterialTable:
             "two_sided": self.two_sided[i],
             "opacity": self.opacity[i],
         }
+        if self.cloth is not None:
+            out["_cloth"] = self.cloth
+            out["_cloth_slot"] = self.cloth_slot[i]
+        return out
 
 
 class MaterialBuilder:
@@ -129,11 +139,13 @@ class MaterialBuilder:
 
     def __init__(self):
         self.rows = []
+        self.cloth_specs = []
 
     def _add(self, **kw):
         defaults = dict(
             child_ids=(-1,) * MAX_COMPOSITE_LOBES,
             child_weights=(0.0,) * MAX_COMPOSITE_LOBES,
+            cloth_slot=-1,
             kind=LAMBERTIAN,
             reflectance=(0.5, 0.5, 0.5),
             specular=(1.0, 1.0, 1.0),
@@ -223,60 +235,55 @@ class MaterialBuilder:
             transmittance=tuple(b_star), alpha_u=g,
         )
 
-    def irawan(self, warp_kd=(0.3, 0.27, 0.25), weft_kd=(0.6, 0.1, 0.1),
-               ks=(0.2, 0.2, 0.2), alpha_u=0.35, alpha_v=0.08,
-               repeat_u=10.0, repeat_v=10.0, pattern: str = "plain"):
-        """Woven cloth (irawan.cpp capability; procedural plain/twill
-        patterns — see models.py cloth_* for slot mapping)."""
-        return self._add(
-            kind=CLOTH, reflectance=warp_kd, cond_eta=weft_kd, specular=ks,
-            alpha_u=alpha_u, alpha_v=alpha_v,
-            exponent=repeat_u, eta=repeat_v,
-            dist_type=1 if pattern == "twill" else 0,
-        )
+    def _add_cloth(self, pattern, repeat_u, repeat_v, kd_mult, ks_mult):
+        """Register a weave pattern and a material row pointing at it.
+        The row's scalar fields keep segment-averaged colors so generic
+        consumers (e.g. albedo previews) see something sensible; eval
+        uses the full per-segment tables (bsdfs/irawan.py)."""
+        from mitsuba_tpu.io.weave import EWARP
 
-    def irawan_file(self, path: str, props: dict | None = None,
-                    repeat_u: float = 10.0, repeat_v: float = 10.0):
-        """Woven cloth from a weave-pattern file (reference irawan.cpp:64
-        loads the same grammar; io/weave.py parses it).  The explicit
-        warp/weft tile grid (up to 8x8 cells) is bit-packed into the unused
-        transmittance/cond_k slots (4 x 16-bit words survive the one-hot
-        matmul gather exactly); yarn colors come from the file; the yarn
-        highlight width derives from the max inclination angle umax."""
-        from mitsuba_tpu.io.weave import EWARP, load_weave
-
-        w = load_weave(path, props)
-        wg = w.warp_grid()
-        th, tw = wg.shape
-        if tw > 8 or th > 8:
-            raise ValueError(f"weave tile {tw}x{th} exceeds the 8x8 "
-                             "bit-packed limit")
-        bits = 0
-        for y in range(th):
-            for x in range(tw):
-                if wg[y, x]:
-                    bits |= 1 << (y * tw + x)
-        words = [(bits >> (16 * i)) & 0xFFFF for i in range(4)]
-        warp_yarns = [y for y in w.yarns if y.type == EWARP] or w.yarns
-        weft_yarns = [y for y in w.yarns if y.type != EWARP] or w.yarns
+        warp_yarns = [y for y in pattern.yarns if y.type == EWARP] \
+            or pattern.yarns
         mean = lambda ys, f: tuple(np.mean([getattr(y, f) for y in ys],
                                            axis=0))
-        umax_w = max(y.umax for y in warp_yarns)
-        umax_f = max(y.umax for y in weft_yarns)
-        alpha_along = float(np.clip(0.25 * np.tan(max(umax_w, 1e-3)), 0.02, 1.0))
-        alpha_across = float(np.clip(0.25 * np.tan(max(umax_f, 1e-3)) * 0.3,
-                                     0.01, 1.0))
+        slot = len(self.cloth_specs)
+        self.cloth_specs.append(dict(
+            pattern=pattern, repeat_u=float(repeat_u),
+            repeat_v=float(repeat_v), kd_mult=float(kd_mult),
+            ks_mult=float(ks_mult)))
         return self._add(
             kind=CLOTH,
             reflectance=mean(warp_yarns, "kd"),
-            cond_eta=mean(weft_yarns, "kd"),
-            specular=mean(w.yarns, "ks"),
-            alpha_u=alpha_along, alpha_v=alpha_across,
-            exponent=repeat_u, eta=repeat_v,
-            dist_type=2,
-            transmittance=(float(tw), float(th), float(words[0])),
-            cond_k=(float(words[1]), float(words[2]), float(words[3])),
+            specular=mean(pattern.yarns, "ks"),
+            cloth_slot=slot,
         )
+
+    def irawan(self, warp_kd=(0.3, 0.27, 0.25), weft_kd=(0.6, 0.1, 0.1),
+               ks=(0.2, 0.2, 0.2), repeat_u=10.0, repeat_v=10.0,
+               pattern: str = "plain", kd_mult=1.0, ks_mult=1.0, **_legacy):
+        """Woven cloth with a procedural plain/twill pattern (capability
+        extension: the reference irawan.cpp requires a pattern file).
+        Routes through the full yarn model via a synthesized pattern."""
+        from mitsuba_tpu.bsdfs.irawan import procedural_pattern
+
+        w = procedural_pattern(pattern, warp_kd, weft_kd, ks)
+        return self._add_cloth(w, repeat_u, repeat_v, kd_mult, ks_mult)
+
+    def irawan_file(self, path: str, props: dict | None = None,
+                    repeat_u: float = 10.0, repeat_v: float = 10.0,
+                    kd_mult: float = 1.0, ks_mult: float = 1.0):
+        """Woven cloth from a weave-pattern file (reference irawan.cpp:64
+        loads the same grammar via io/weave.py). The full yarn-segment
+        model (filament/staple integrands) evaluates from packed SoA
+        tables — see bsdfs/irawan.py."""
+        from mitsuba_tpu.io.weave import load_weave
+
+        props = props or {}
+        w = load_weave(path, props)
+        return self._add_cloth(
+            w, repeat_u, repeat_v,
+            float(props.get("kdMultiplier", kd_mult)),
+            float(props.get("ksMultiplier", ks_mult)))
 
     def composite(self, children, weights):
         """N-weighted-lobe combiner (reference composite.cpp, up to 4
@@ -335,6 +342,11 @@ class MaterialBuilder:
                     if r["kind"] != COMPOSITE})
         )
         has_composite = any(r["kind"] == COMPOSITE for r in self.rows)
+        cloth = None
+        if self.cloth_specs:
+            from mitsuba_tpu.bsdfs.irawan import pack_patterns
+
+            cloth = pack_patterns(self.cloth_specs)
         return MaterialTable(
             kind=i32("kind"),
             reflectance=f32("reflectance"),
@@ -352,6 +364,8 @@ class MaterialBuilder:
             opacity=f32("opacity"),
             child_ids=i32("child_ids"),
             child_weights=f32("child_weights"),
+            cloth_slot=i32("cloth_slot"),
+            cloth=cloth,
             kinds_present=kinds_present,
             has_composite=has_composite,
         )

@@ -152,11 +152,12 @@ def build_material(mb, bsdf_node, two_sided: bool = False, opacity=None,
             mb.irawan(
                 warp_kd=_spec(p, "warpKd", (0.3, 0.27, 0.25)),
                 weft_kd=_spec(p, "weftKd", (0.6, 0.1, 0.1)),
-                ks=tuple(float(p.get("ksMultiplier", 1.0)) * x
-                         for x in _spec(p, "ks", (0.2, 0.2, 0.2))),
+                ks=_spec(p, "ks", (0.2, 0.2, 0.2)),
                 repeat_u=float(p.get("repeatU", 10.0)),
                 repeat_v=float(p.get("repeatV", 10.0)),
                 pattern=p.get("pattern", "plain"),
+                kd_mult=float(p.get("kdMultiplier", 1.0)),
+                ks_mult=float(p.get("ksMultiplier", 1.0)),
             )
         )
     if t == "composite":

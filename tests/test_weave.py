@@ -72,33 +72,39 @@ def test_parse_errors():
 
 
 def test_pattern_grid_dispatch(tmp_path):
-    """The bit-packed grid reproduces the file's warp/weft layout through
-    the one-hot material gather and cloth dispatch."""
+    """The packed pattern tables reproduce the file's warp/weft layout
+    through the material gather and cloth dispatch (irawan.cpp:109-119:
+    uv.y flips, repeat scales, per-cell yarn lookup)."""
     from mitsuba_tpu.bsdfs import bsdf_eval
-    from mitsuba_tpu.bsdfs.models import _cloth_yarn
+    from mitsuba_tpu.bsdfs.irawan import irawan_diffuse_reflectance
     from mitsuba_tpu.bsdfs.table import MaterialBuilder
 
     f = tmp_path / "basket.wift"
     f.write_text(SAMPLE.replace("$alpha", "0.33"))
     b = MaterialBuilder()
-    mid = b.irawan_file(str(f), repeat_u=3.0, repeat_v=2.0)
+    mid = b.irawan_file(str(f), repeat_u=1.0, repeat_v=1.0)
     table = b.build()
-    # sample uv at each tile cell center; repeat = tile dims -> iu=x, iv=y
+    # at repeat 1, uv spans exactly one tile: cell (x, y) of the pattern
+    # grid sits at uv.x = (x+0.5)/tileWidth and (v flipped, irawan.cpp:112)
+    # uv.y = 1 - (y+0.5)/tileHeight
     uvs, expect = [], []
     w = load_weave_string(SAMPLE, props={"alpha": 0.33})
     g = w.warp_grid()
     for y in range(2):
         for x in range(3):
-            uvs.append([(x + 0.5) / 3.0, (y + 0.5) / 2.0])
+            uvs.append([(x + 0.5) / 3.0, 1.0 - (y + 0.5) / 2.0])
             expect.append(g[y, x])
     uv = jnp.asarray(uvs, jnp.float32)
     n = uv.shape[0]
     p = table.gather(jnp.full((n,), mid, jnp.int32))
     p = dict(p, _uv=uv)
-    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
-    got = np.asarray(_cloth_yarn(p, wi))
-    np.testing.assert_array_equal(got, np.asarray(expect))
+    # per-cell diffuse reflectance picks the cell's yarn kd
+    kd = np.asarray(irawan_diffuse_reflectance(p))
+    exp_kd = np.where(np.asarray(expect)[:, None],
+                      np.asarray(w.yarns[0].kd), np.asarray(w.yarns[1].kd))
+    np.testing.assert_allclose(kd, exp_kd, rtol=1e-6)
     # end-to-end eval: warp cells shade with warp kd (greenish), weft red
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
     wo = jnp.broadcast_to(jnp.asarray([0.0, 0.3, 0.954]), (n, 3))
     val = np.asarray(bsdf_eval(table, jnp.full((n,), mid, jnp.int32),
                                wi, wo, uv=uv))
@@ -140,7 +146,8 @@ def test_irawan_filename_via_xml(tmp_path):
     kinds = np.asarray(scene.materials.kind)
     assert (kinds == CLOTH).any()
     row = int(np.argmax(kinds == CLOTH))
-    assert int(np.asarray(scene.materials.dist_type)[row]) == 2  # grid mode
+    assert scene.materials.cloth is not None
+    assert int(np.asarray(scene.materials.cloth_slot)[row]) >= 0
     # warp kd from the file (greenish)
     kd = np.asarray(scene.materials.reflectance)[row]
     assert kd[1] > kd[0]
