@@ -48,10 +48,12 @@ BI = 16                 # items (8-tri clusters) per grid step
 _BIG = 3e38
 _DET_EPS = 1e-12
 
-# (E0, E1, E2, E3): SC256 candidates, SC256 kept, SC64 kept, K8 items.
-# E3 must be a multiple of BI.
-CAPS_COHERENT = (64, 32, 48, 96)
-CAPS_DIFFUSE = (160, 96, 128, 384)
+# (E0, E1, E2, E3): L2 candidates, L2 kept, L1 kept, K8 items.
+# E0, 8*E1 and 8*E2 must be multiples of 128 (refine-kernel packing);
+# E3 of BI. Sized at the p99 row footprint of config-3 bounce rays
+# (scripts/exp_r3_caps.py); overflow rows fall back.
+CAPS_COHERENT = (128, 16, 32, 96)
+CAPS_DIFFUSE = (256, 160, 384, 512)
 
 
 # ---------------------------------------------------------------------------
@@ -79,39 +81,243 @@ def _exact_refine(rays, ids, keep, blo, bhi):
     return jnp.min(jnp.where(ok, tn, _BIG), axis=-1)
 
 
-def build_exact_items(rays, ex, caps):
+# --- Pallas refine kernel: cost scales with the LIVE prefix, not caps ---
+
+def _refine_kernel(live_pf, rays_ref, box_ref, out_ref):
+    """Per-row exact slab keys for packed candidate boxes.
+
+    box layout (1, NG, 8, 128): group g holds 128 entries as 16 chunks
+    of 8 (sublane = entry-in-chunk); chunk c's six box fields
+    (lo.xyz|hi.xyz) sit at lanes c*8 .. c*8+5. Output keys land at
+    lane c*8 of the same (g, sublane) slot. Only ceil(live/128) groups
+    are computed — candidates are a sorted live prefix."""
+    r = pl.program_id(0)
+    NG = box_ref.shape[1]
+    rays = rays_ref[0]
+    o = (rays[0:1, :], rays[1:2, :], rays[2:3, :])
+    d = (rays[3:4, :], rays[4:5, :], rays[5:6, :])
+    mn = rays[6:7, :]
+    mx = rays[7:8, :]
+    inv = [jnp.where(jnp.abs(dj) > 1e-12, 1.0 / dj, _BIG) for dj in d]
+    n_g = (live_pf[r] + 127) // 128
+
+    def body(g, _):
+        for c in range(16):
+            tn = jnp.broadcast_to(mn, (8, LANES))
+            tf = jnp.broadcast_to(mx, (8, LANES))
+            for j in range(3):
+                lo = box_ref[0, g, :, c * 8 + j:c * 8 + j + 1]
+                hi = box_ref[0, g, :, c * 8 + 3 + j:c * 8 + 4 + j]
+                t0 = (lo - o[j]) * inv[j]
+                t1 = (hi - o[j]) * inv[j]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            key = jnp.min(jnp.where(tn <= tf, tn, _BIG), axis=1,
+                          keepdims=True)
+            out_ref[0, g, :, c * 8:c * 8 + 1] = key
+        return 0
+
+    jax.lax.fori_loop(0, n_g, body, 0)
+
+
+import numpy as _np
+
+
+def _pack_perm(E):
+    """Static column permutation making the kernel box layout a PURE
+    reshape of the gathered (R,E,8) records: packed slot
+    e' = g*128 + s*16 + c must hold entry e = g*128 + c*8 + s."""
+    g, s, c = _np.meshgrid(_np.arange(E // 128), _np.arange(8),
+                           _np.arange(16), indexing="ij")
+    return jnp.asarray((g * 128 + c * 8 + s).reshape(-1), jnp.int32)
+
+
+def _refine_keys_pallas(rays, ids, keep, live, blo, bhi, interpret):
+    """Pallas-backed _exact_refine: same contract, plus `live` (R,) i32
+    upper bound on the sorted live-candidate prefix length."""
+    R, E = ids.shape
+    perm = _pack_perm(E)
+    idsp = ids[:, perm]
+    lo = blo[idsp]
+    hi = bhi[idsp]
+    b = jnp.concatenate([lo, hi, jnp.zeros((R, E, 2), lo.dtype)], -1)
+    boxes = b.reshape(R, E // 128, 8, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANES), lambda r, live: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E // 128, 8, LANES),
+                         lambda r, live: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, E // 128, 8, LANES),
+                               lambda r, live: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _refine_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, E // 128, 8, LANES),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(live, rays, boxes)
+    # keys sit at lane c*8 of slot (g, s); slot order (g, s, c) is the
+    # permuted entry order — scatter back via the same static perm
+    kp = out.reshape(R, E // 128, 8, 16, 8)[:, :, :, :, 0].reshape(R, E)
+    key = kp[:, jnp.argsort(perm)]
+    # beyond-live groups are uninitialized and dead entries carry
+    # garbage boxes: mask both
+    return jnp.where(keep, key, _BIG)
+
+
+# --- child-refine kernel: parents' 8 consecutive children tested from a
+# VMEM-resident (C_parent, 8, 128) box table — no XLA gather at all
+# (the (R,E,6) box gathers measured 137 ms/1M at diffuse caps) ---
+
+def _child_refine_kernel(live_pf, pids_ref, rays_ref, tab_ref, out_ref):
+    """Keys for the 8 children of each listed parent.
+
+    pids_ref SMEM (1, Ep): parent ids, live prefix of length live_pf[r].
+    tab_ref VMEM (Cp, 8, 128): sublane = child, lanes 0:3 lo / 3:6 hi.
+    out_ref (1, Ep/16, 8, 128): key of (parent rank p, child s) at
+    [0, p//16, s, (p%16)*8]."""
+    r = pl.program_id(0)
+    rays = rays_ref[0]
+    o = (rays[0:1, :], rays[1:2, :], rays[2:3, :])
+    d = (rays[3:4, :], rays[4:5, :], rays[5:6, :])
+    mn = rays[6:7, :]
+    mx = rays[7:8, :]
+    inv = [jnp.where(jnp.abs(dj) > 1e-12, 1.0 / dj, _BIG) for dj in d]
+    n_g = (live_pf[r] + 15) // 16
+
+    def body(g, _):
+        for k in range(16):
+            pid = pids_ref[0, 0, g * 16 + k]
+            blk = tab_ref[pid]
+            tn = jnp.broadcast_to(mn, (8, LANES))
+            tf = jnp.broadcast_to(mx, (8, LANES))
+            for j in range(3):
+                lo = blk[:, j:j + 1]
+                hi = blk[:, 3 + j:4 + j]
+                t0 = (lo - o[j]) * inv[j]
+                t1 = (hi - o[j]) * inv[j]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            key = jnp.min(jnp.where(tn <= tf, tn, _BIG), axis=1,
+                          keepdims=True)
+            out_ref[0, g, :, k * 8:k * 8 + 1] = key
+        return 0
+
+    jax.lax.fori_loop(0, n_g, body, 0)
+
+
+def _child_refine(rays, pids, live_p, tab, keep8, interpret):
+    """Exact keys for the 8 children of each parent in pids (R, Ep).
+    Returns (R, Ep*8) keys in child-major order e = p*8 + ch, masked by
+    keep8."""
+    R, Ep = pids.shape
+    # (R, 1, Ep) with a (1, 1, Ep) block: Mosaic requires block dims to
+    # divide or equal the array dims (same workaround as stream_pallas)
+    pids3 = pids[:, None, :]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Ep), lambda r, lv: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, LANES), lambda r, lv: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tab.shape, lambda r, lv: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Ep // 16, 8, LANES),
+                               lambda r, lv: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _child_refine_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, Ep // 16, 8, LANES),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(live_p, pids3, rays, tab)
+    # [r, g, s, k*8] -> entry e = (g*16+k)*8 + s
+    kp = out.reshape(R, Ep // 16, 8, 16, 8)[:, :, :, :, 0]
+    key = kp.transpose(0, 1, 3, 2).reshape(R, Ep * 8)
+    return jnp.where(keep8, key, _BIG)
+
+
+def pack_child_table(lo, hi):
+    """(Cp*8, 3) child boxes -> (Cp, 8, 128) resident kernel table."""
+    import numpy as np
+    n = lo.shape[0]
+    tab = np.zeros((n // 8, 8, 128), np.float32)
+    tab[:, :, 0:3] = np.asarray(lo).reshape(-1, 8, 3)
+    tab[:, :, 3:6] = np.asarray(hi).reshape(-1, 8, 3)
+    return tab
+
+
+def build_exact_items(rays, ex, caps, use_kernel=True, interpret=False):
     """Hierarchical exact cull. rays (R,8,128); ex: dict with
-    b256_lo/hi (C256,3), b64_lo/hi (C64,3), b8_lo/hi (C8,3).
+    b2_lo/hi (C8/64,3), b1_lo/hi (C8/8,3), b0_lo/hi (C8,3).
     Returns (ids (R,E3) i32 K8-cluster ids front-to-back [0 for dead
     slots], blk_tn (R, E3/BI) f32 entry key of each BI-block [_BIG if
-    fully dead], overflow (R,) bool)."""
+    fully dead], overflow (R,) bool). E0 and 8*E1 and 8*E2 must be
+    multiples of 128 when use_kernel=True."""
     E0, E1, E2, E3 = caps
     R = rays.shape[0]
+
+    def refine(ids, keep, live, lo, hi):
+        if use_kernel:
+            return _refine_keys_pallas(rays, ids, keep, live, lo, hi,
+                                       interpret)
+        return _exact_refine(rays, ids, keep, lo, hi)
+
     # S0: conservative L2 (512-tri block) interval cull, front-to-back
     ids0f, tns0f = build_sc_lists(rays, ex["b2_lo"], ex["b2_hi"])
     n0 = jnp.sum(tns0f[:, 0, :] < _BIG, -1)
     ids0 = ids0f[:, 0, :E0]
     keep0 = tns0f[:, 0, :E0] < _BIG
+    live0 = jnp.minimum(n0, E0).astype(jnp.int32)
     # S1: exact L2
-    key1 = _exact_refine(rays, ids0, keep0, ex["b2_lo"], ex["b2_hi"])
+    key1 = refine(ids0, keep0, live0, ex["b2_lo"], ex["b2_hi"])
     key1s, ids1 = jax.lax.sort_key_val(key1, ids0)
     n1 = jnp.sum(key1 < _BIG, -1)
     ids1 = ids1[:, :E1]
     keep1 = key1s[:, :E1] < _BIG
-    # S2: exact L1 (64-tri blocks, 8 per L2)
+    live1p = jnp.minimum(n1, E1).astype(jnp.int32)
+    # S2: exact L1 (64-tri blocks, 8 consecutive per L2) — children read
+    # in-kernel from the resident parent table, no XLA box gather
     ids64 = (ids1[:, :, None] * 8
              + jnp.arange(8, dtype=jnp.int32)[None, None]).reshape(R, -1)
     keep64 = jnp.repeat(keep1, 8, axis=1)
-    key2 = _exact_refine(rays, ids64, keep64, ex["b1_lo"], ex["b1_hi"])
+    if use_kernel:
+        key2 = _child_refine(rays, ids1, live1p, ex["ct1"], keep64,
+                             interpret)
+    else:
+        key2 = refine(ids64, keep64, live1p * 8, ex["b1_lo"],
+                      ex["b1_hi"])
     key2s, ids2 = jax.lax.sort_key_val(key2, ids64)
     n2 = jnp.sum(key2 < _BIG, -1)
     ids2 = ids2[:, :E2]
     keep2 = key2s[:, :E2] < _BIG
-    # S3: exact K8 clusters (8 per L1)
+    live2p = jnp.minimum(n2, E2).astype(jnp.int32)
+    # S3: exact K8 clusters (8 consecutive per L1)
     ids8 = (ids2[:, :, None] * 8
             + jnp.arange(8, dtype=jnp.int32)[None, None]).reshape(R, -1)
     keep8 = jnp.repeat(keep2, 8, axis=1)
-    key3 = _exact_refine(rays, ids8, keep8, ex["b0_lo"], ex["b0_hi"])
+    if use_kernel:
+        key3 = _child_refine(rays, ids2, live2p, ex["ct0"], keep8,
+                             interpret)
+    else:
+        key3 = refine(ids8, keep8, live2p * 8, ex["b0_lo"],
+                      ex["b0_hi"])
     key3s, ids3 = jax.lax.sort_key_val(key3, ids8)
     n3 = jnp.sum(key3 < _BIG, -1)
     ids = jnp.where(key3s[:, :E3] < _BIG, ids3[:, :E3], 0)
@@ -287,7 +493,7 @@ def _call_items(ex_tri, rays, ids, blk_tn, any_hit: bool,
 # pallas_call (ids (Rc,E3) i32 + blk_tn padded to (Rc,128) f32 must fit
 # 1 MB SMEM) and the HBM peak of the build's (Rc, E, 3, 128) slab
 # intermediates (~1.2 GB at CAPS_DIFFUSE)
-R_CHUNK = 384
+R_CHUNK = 320
 
 
 def _pad_rows(rays, n_rows):
@@ -308,7 +514,8 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret):
     chunks = _pad_rows(rays, n_rows)
 
     def chunk_fn(rays_c):
-        ids, blk_tn, ovf = build_exact_items(rays_c, ex, caps)
+        ids, blk_tn, ovf = build_exact_items(rays_c, ex, caps,
+                                             interpret=interpret)
         out = _call_items(ex["tri"], rays_c, ids, blk_tn,
                           any_hit=any_hit, interpret=interpret)
         return out, ovf

@@ -111,6 +111,8 @@ class GeometryTables:
     ex_b1hi: jnp.ndarray = None
     ex_b2lo: jnp.ndarray = None      # (C8/64, 3)
     ex_b2hi: jnp.ndarray = None
+    ex_ct1: jnp.ndarray = None       # (C8/64, 8, 128) L1-child box table
+    ex_ct0: jnp.ndarray = None       # (C8/8, 8, 128) K8-child box table
     backend: str = static_field(default="brute")
 
     @property
@@ -122,7 +124,8 @@ class GeometryTables:
         return dict(tri=self.ex_tri,
                     b0_lo=self.ex_b0lo, b0_hi=self.ex_b0hi,
                     b1_lo=self.ex_b1lo, b1_hi=self.ex_b1hi,
-                    b2_lo=self.ex_b2lo, b2_hi=self.ex_b2hi)
+                    b2_lo=self.ex_b2lo, b2_hi=self.ex_b2hi,
+                    ct1=self.ex_ct1, ct0=self.ex_ct0)
 
     @property
     def wl_tables(self):
@@ -264,7 +267,10 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
                 tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0],
                 cut_clusters(bvh.first, bvh.count, bvh.skip, f.shape[0],
                              max_k=8), k=8, sc_group=64)
+            from mitsuba_tpu.ops.exact_pallas import pack_child_table
             C8 = mt8.bmin.shape[0]
+            b1lo = mt8.bmin.reshape(C8 // 8, 8, 3).min(1)
+            b1hi = mt8.bmax.reshape(C8 // 8, 8, 3).max(1)
             tri128 = np.zeros((C8, 8, 128), np.float32)
             tri128[:, :, :9] = mt8.tri[:, :, :9]
             prim8 = (mt8.tri_start[:, None]
@@ -274,12 +280,12 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
                 ex_tri=jnp.asarray(tri128),
                 ex_b0lo=jnp.asarray(mt8.bmin),
                 ex_b0hi=jnp.asarray(mt8.bmax),
-                ex_b1lo=jnp.asarray(mt8.bmin.reshape(C8 // 8, 8, 3).min(1)),
-                ex_b1hi=jnp.asarray(mt8.bmax.reshape(C8 // 8, 8, 3).max(1)),
-                ex_b2lo=jnp.asarray(
-                    mt8.bmin.reshape(C8 // 64, 64, 3).min(1)),
-                ex_b2hi=jnp.asarray(
-                    mt8.bmax.reshape(C8 // 64, 64, 3).max(1)),
+                ex_b1lo=jnp.asarray(b1lo),
+                ex_b1hi=jnp.asarray(b1hi),
+                ex_b2lo=jnp.asarray(b1lo.reshape(C8 // 64, 8, 3).min(1)),
+                ex_b2hi=jnp.asarray(b1hi.reshape(C8 // 64, 8, 3).max(1)),
+                ex_ct1=jnp.asarray(pack_child_table(b1lo, b1hi)),
+                ex_ct0=jnp.asarray(pack_child_table(mt8.bmin, mt8.bmax)),
             )
         if instanced and instanced[1]:
             groups, instances = instanced

@@ -57,7 +57,7 @@ def test_exact_closest_matches_oracle(geom):
     o, d = _rays(n)
     mint = jnp.full(n, 1e-3)
     maxt = jnp.full(n, 1e9)
-    caps = (64, 32, 48, 64)
+    caps = (128, 16, 32, 64)
     t, u, v, prim, valid, ovf = ep.exact_closest(
         geom.ex_tables, o, d, mint, maxt, caps=caps, interpret=True)
     ray = Ray(o=o, d=d, mint=mint, maxt=maxt)
@@ -81,7 +81,7 @@ def test_exact_any_matches_oracle(geom):
     mint = jnp.full(n, 1e-3)
     # finite maxt exercises the capped any-hit path
     maxt = jnp.full(n, 2.5)
-    caps = (64, 32, 48, 64)
+    caps = (128, 16, 32, 64)
     occ, ovf = ep.exact_any(geom.ex_tables, o, d, mint, maxt,
                             caps=caps, interpret=True)
     ray = Ray(o=o, d=d, mint=mint, maxt=maxt)
@@ -97,7 +97,7 @@ def test_exact_overflow_rows_flagged_not_wrong(geom):
     o, d = _rays(n, seed=2)
     mint = jnp.full(n, 1e-3)
     maxt = jnp.full(n, 1e9)
-    caps = (16, 8, 16, 16)
+    caps = (128, 16, 16, 16)
     t, u, v, prim, valid, ovf = ep.exact_closest(
         geom.ex_tables, o, d, mint, maxt, caps=caps, interpret=True)
     ray = Ray(o=o, d=d, mint=mint, maxt=maxt)
