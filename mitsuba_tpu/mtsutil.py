@@ -109,8 +109,11 @@ def _cmd_raybench(argv):
                     help="scene XML (default: built-in cornell box)")
     ap.add_argument("-n", type=int, default=1_000_000)
     ap.add_argument("--shadow", action="store_true")
+    ap.add_argument("-f", "--fit-costs", action="store_true",
+                    help="fit SAH traversal/intersection cost constants "
+                         "instead of benchmarking (kdbench -f analog)")
     a = ap.parse_args(argv)
-    from mitsuba_tpu.utils.raybench import bench_rays
+    from mitsuba_tpu.utils.raybench import bench_rays, find_costs
 
     if a.scene:
         from mitsuba_tpu.io.xml import load_scene
@@ -120,6 +123,10 @@ def _cmd_raybench(argv):
         from mitsuba_tpu.render.scene import cornell_box
 
         scene = cornell_box(width=64, height=64)
+    if a.fit_costs:
+        tc, ic, fit = find_costs(scene.geom, n=min(a.n, 200_000))
+        print({"traversal_cost": tc, "intersection_cost": ic, **fit})
+        return 0
     stats = bench_rays(scene.geom, n=a.n, shadow=a.shadow)
     print(stats)
     return 0
