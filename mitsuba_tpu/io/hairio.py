@@ -173,3 +173,46 @@ def load_hspan(path: str, cell_size: float = 1.0, name: str | None = None) -> Tr
     )
     mesh.compute_vertex_normals()
     return mesh
+
+
+def load_hair_segments(path: str, radius: float = 0.05):
+    """Load a mitsuba hair file as analytic cylinder segments
+    (reference src/shapes/hair.cpp:132 — the reference intersects exact
+    per-segment cylinders inside a dedicated kd-tree; here the segments
+    feed a skip-link segment BVH, render/intersect._hair_walk).
+
+    Returns dict(a (H,3), b (H,3), r (H,), u0 (H,), u1 (H,)) where
+    u0/u1 are each segment's normalized arclength range along its fiber
+    (the uv.v coordinate of hits)."""
+    fibers = []
+    cur = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                if len(cur) >= 2:
+                    fibers.append(np.asarray(cur, np.float64))
+                cur = []
+                continue
+            cur.append([float(x) for x in line.split()[:3]])
+    if len(cur) >= 2:
+        fibers.append(np.asarray(cur, np.float64))
+    if not fibers:
+        raise ValueError(f"{path}: no fibers found")
+    a_list, b_list, u0_list, u1_list = [], [], [], []
+    for p in fibers:
+        seg_len = np.linalg.norm(np.diff(p, axis=0), axis=-1)
+        arc = np.concatenate([[0.0], np.cumsum(seg_len)])
+        total = max(arc[-1], 1e-12)
+        a_list.append(p[:-1])
+        b_list.append(p[1:])
+        u0_list.append(arc[:-1] / total)
+        u1_list.append(arc[1:] / total)
+    a = np.concatenate(a_list).astype(np.float32)
+    b = np.concatenate(b_list).astype(np.float32)
+    return dict(
+        a=a, b=b,
+        r=np.full(a.shape[0], radius, np.float32),
+        u0=np.concatenate(u0_list).astype(np.float32),
+        u1=np.concatenate(u1_list).astype(np.float32),
+    )

@@ -197,6 +197,25 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn,
             radius *= float(np.linalg.norm(tw[:3, 0]))
         analytic = ("cylinder", p1, p2, radius)
         mesh = None
+    elif (t == "hair" and not props0.get("tessellate", False)
+            and _find(shape_node, "subsurface") is None):
+        # reference hair.cpp:132 intersects exact per-segment cylinders;
+        # route into the segment BVH (set tessellate="true" to force
+        # the old tube mesh)
+        from mitsuba_tpu.io.hairio import load_hair_segments
+
+        seg = load_hair_segments(
+            _resolve(base_dir, props0["filename"]),
+            radius=float(props0.get("radius", 0.05)))
+        tw = props0.get("toWorld")
+        if tw is not None:
+            tw = np.asarray(tw)
+            seg["a"] = np.asarray(tf.apply_point(tw, seg["a"]), np.float32)
+            seg["b"] = np.asarray(tf.apply_point(tw, seg["b"]), np.float32)
+            seg["r"] = np.asarray(
+                seg["r"] * float(np.linalg.norm(tw[:3, 0])), np.float32)
+        analytic = ("hair", seg)
+        mesh = None
     else:
         mesh = load_shape_mesh(shape_node, base_dir)
     bsdf = _find(shape_node, "bsdf")
@@ -329,6 +348,11 @@ def add_shape(builder, shape_node, base_dir, mat_cache, material_fn,
             raise ValueError("cylinder area emitters are not supported; "
                              "tessellate explicitly")
         builder.add_cylinder(p1, p2, radius, mid, interior_medium=interior)
+        return
+    if analytic is not None and analytic[0] == "hair":
+        if lum is not None:
+            raise ValueError("hair emitters are not supported")
+        builder.add_hair(analytic[1], mid)
         return
     if lum is not None:
         if lum["type"] not in ("area", ""):

@@ -199,3 +199,19 @@ def build_bvh(vertices: np.ndarray, faces: np.ndarray, max_leaf: int = MAX_LEAF)
         bounds_min=bmin, bounds_max=bmax, first=first, count=count, skip=skip,
         perm=np.asarray(perm, np.int64),
     )
+
+
+def build_bvh_boxes(pmin: np.ndarray, pmax: np.ndarray,
+                    max_leaf: int = MAX_LEAF) -> BVH:
+    """Binned-SAH skip-link BVH over arbitrary per-primitive AABBs
+    (hair fiber segments, analytic prims). Reuses build_bvh — and thus
+    the native builder — by synthesizing one triangle per box whose
+    vertex AABB and centroid equal the box's: (pmin, pmax, center).
+    The returned perm/first/count index the boxes."""
+    pmin = np.asarray(pmin, np.float64)
+    pmax = np.asarray(pmax, np.float64)
+    n = pmin.shape[0]
+    center = (pmin + pmax) * 0.5
+    verts = np.stack([pmin, pmax, center], axis=1).reshape(n * 3, 3)
+    faces = np.arange(n * 3, dtype=np.int64).reshape(n, 3)
+    return build_bvh(verts, faces, max_leaf=max_leaf)

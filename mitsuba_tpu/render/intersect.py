@@ -102,6 +102,12 @@ class GeometryTables:
     cyl_mid: jnp.ndarray = None
     cyl_eid: jnp.ndarray = None
     cyl_sid: jnp.ndarray = None
+    # hair fiber segments (reference src/shapes/hair.cpp:132 — exact
+    # per-segment cylinders in a dedicated kd-tree; here a skip-link
+    # segment BVH walked by _hair_walk). Prim-id space continues after
+    # cylinders: [T+S+C, T+S+C+H).
+    hair_nodes: jnp.ndarray = None   # (Mh, 9) packed skip-link nodes
+    hair_segs: jnp.ndarray = None    # (H, 16): a3 b3 r u0 u1 mid eid sid pad
     # exact-cull item-stream tables (ops/exact_pallas.py, v5): K8
     # clusters with an 8x box hierarchy (K8 -> 64-tri -> 512-tri)
     ex_tri: jnp.ndarray = None       # (C8, 8, 128) f32, lane 15 = prim
@@ -167,12 +173,16 @@ class GeometryTables:
         return 0 if self.cyl_r is None else self.cyl_r.shape[0]
 
     @property
+    def n_hair(self):
+        return 0 if self.hair_segs is None else self.hair_segs.shape[0]
+
+    @property
     def has_analytic(self):
         return self.n_spheres + self.n_cylinders > 0
 
 
 def build_geometry(meshes_with_ids, backend: str = "auto",
-                   analytic=None, instanced=None) -> GeometryTables:
+                   analytic=None, instanced=None, hair=None) -> GeometryTables:
     """Assemble GeometryTables from [(TriMesh, material_id, emitter_id
     [, shape_id]), ...].
 
@@ -417,6 +427,8 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
                 cyl_sid=jnp.asarray(np.asarray([x[5] for x in cyl],
                                                np.int32)),
             )
+    if hair is not None and hair["a"].shape[0] > 0:
+        ana.update(_pack_hair(hair))
     return GeometryTables(
         **cl,
         **ana,
@@ -1181,6 +1193,179 @@ def _cylinder_closest(geom: GeometryTables, ray: Ray):
     return tb, idx, jnp.isfinite(tb)
 
 
+def _pack_hair(hair):
+    """Pack hair segments + their skip-link BVH into GeometryTables
+    fields. hair: dict(a, b, r, u0, u1, mid, eid, sid) arrays."""
+    from mitsuba_tpu.render.bvh import build_bvh_boxes
+
+    a = np.asarray(hair["a"], np.float32)
+    b = np.asarray(hair["b"], np.float32)
+    r = np.asarray(hair["r"], np.float32)
+    pmin = np.minimum(a, b) - r[:, None]
+    pmax = np.maximum(a, b) + r[:, None]
+    bvh = build_bvh_boxes(pmin, pmax)
+    perm = bvh.perm
+    segs = np.zeros((a.shape[0], 16), np.float32)
+    segs[:, 0:3] = a[perm]
+    segs[:, 3:6] = b[perm]
+    segs[:, 6] = r[perm]
+    segs[:, 7] = np.asarray(hair["u0"], np.float32)[perm]
+    segs[:, 8] = np.asarray(hair["u1"], np.float32)[perm]
+    segs[:, 9] = np.asarray(hair["mid"], np.float32)[perm]
+    segs[:, 10] = np.asarray(hair["eid"], np.float32)[perm]
+    segs[:, 11] = np.asarray(hair["sid"], np.float32)[perm]
+    nodes = np.concatenate(
+        [bvh.bounds_min, bvh.bounds_max,
+         bvh.first[:, None].astype(np.float32),
+         bvh.count[:, None].astype(np.float32),
+         bvh.skip[:, None].astype(np.float32)], axis=1)
+    return dict(hair_nodes=jnp.asarray(nodes), hair_segs=jnp.asarray(segs))
+
+
+def _cyl_seg_hit(o, d, rows, mint, tcap):
+    """Finite open-cylinder test of gathered segment rows (N, 16)
+    against per-lane rays. Returns (t, axial_frac, valid)."""
+    a = rows[:, 0:3]
+    ax = rows[:, 3:6] - a
+    r = rows[:, 6]
+    ln = jnp.maximum(jnp.linalg.norm(ax, axis=-1), 1e-12)
+    u = ax / ln[:, None]
+    oc = o - a
+    du = jnp.sum(d * u, axis=-1)
+    ou = jnp.sum(oc * u, axis=-1)
+    dp = d - du[:, None] * u
+    op = oc - ou[:, None] * u
+    A = jnp.maximum(jnp.sum(dp * dp, axis=-1), 1e-12)
+    B = jnp.sum(dp * op, axis=-1)
+    Cq = jnp.sum(op * op, axis=-1) - r * r
+    disc = B * B - A * Cq
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-B - sq) / A
+    t1 = (-B + sq) / A
+
+    def axial_ok(t):
+        s_ax = ou + t * du
+        return (s_ax >= 0.0) & (s_ax <= ln)
+
+    ok0 = ok & (t0 > mint) & axial_ok(t0)
+    ok1 = ok & (t1 > mint) & axial_ok(t1)
+    t = jnp.where(ok0, t0, jnp.where(ok1, t1, jnp.inf))
+    valid = (ok0 | ok1) & (t < tcap)
+    frac = jnp.clip((ou + t * du) / ln, 0.0, 1.0)
+    return t, frac, valid
+
+
+def _hair_walk(geom: GeometryTables, ray: Ray, any_hit: bool):
+    """Phased skip-link walk over the hair segment BVH — same body
+    shape as _walk_phased (one node gather + one segment gather per
+    iteration) with the cylinder test in place of Moeller-Trumbore."""
+    n = ray.o.shape[0]
+    m_nodes = geom.hair_nodes.shape[0]
+    n_segs = geom.hair_segs.shape[0]
+    inv_d = m.safe_rcp(ray.d)
+    nodes = geom.hair_nodes
+    segs = geom.hair_segs
+    cap = (MAX_LEAF + 1) * m_nodes + 8
+
+    def cond(st):
+        node, lf, lc, lk, steps, t_best, frac, prim, valid = st
+        live = (node < m_nodes) | (lk < lc)
+        if any_hit:
+            live = live & ~valid
+        return jnp.any(live) & (steps < cap)
+
+    def body(st):
+        node, lf, lc, lk, steps, t_best, frac_b, prim_b, valid = st
+        in_leaf = lk < lc
+        if any_hit:
+            in_leaf = in_leaf & ~valid
+        si = jnp.minimum(lf + jnp.minimum(lk, MAX_LEAF - 1), n_segs - 1)
+        rows = segs[si]                         # one gather
+        t, frac, hit = _cyl_seg_hit(ray.o, ray.d, rows, ray.mint,
+                                    jnp.minimum(ray.maxt, t_best))
+        closer = in_leaf & hit & (t < t_best)
+        t_best = jnp.where(closer, t, t_best)
+        frac_b = jnp.where(closer, frac, frac_b)
+        prim_b = jnp.where(closer, si, prim_b)
+        valid = valid | closer
+        lk = jnp.where(in_leaf, lk + 1, lk)
+        do_node = ~in_leaf & (node < m_nodes)
+        if any_hit:
+            do_node = do_node & ~valid
+        nd = jnp.minimum(node, m_nodes - 1)
+        row = nodes[nd]                         # one gather
+        first = row[:, 6].astype(jnp.int32)
+        count = row[:, 7].astype(jnp.int32)
+        skip = row[:, 8].astype(jnp.int32)
+        box_hit = do_node & _slab_test(row[:, 0:3], row[:, 3:6], ray.o,
+                                       inv_d, ray.mint,
+                                       jnp.minimum(ray.maxt, t_best))
+        is_leaf = count > 0
+        enter = box_hit & is_leaf
+        lf = jnp.where(enter, first, lf)
+        lc = jnp.where(enter, jnp.minimum(count, MAX_LEAF), lc)
+        lk = jnp.where(enter, 0, lk)
+        node = jnp.where(
+            do_node, jnp.where(box_hit & ~is_leaf, nd + 1, skip), node)
+        return (node, lf, lc, lk, steps + 1, t_best, frac_b, prim_b,
+                valid)
+
+    z = jnp.zeros(n, jnp.int32)
+    st = (z, z, z, z, jnp.zeros((), jnp.int32),
+          jnp.where(jnp.isfinite(ray.maxt), ray.maxt, jnp.inf),
+          jnp.zeros(n), z, jnp.zeros(n, bool))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[5], st[6], st[7], st[8]
+
+
+def _hair_any(geom: GeometryTables, ray: Ray):
+    _, _, _, valid = _hair_walk(geom, ray, any_hit=True)
+    return valid
+
+
+def _merge_hair(geom: GeometryTables, ray: Ray, its: Intersection):
+    """Override the Intersection where a hair segment is nearer.
+    uv: u = phi around the fiber, v = arclength along the fiber."""
+    t, frac, si, valid = _hair_walk(geom, ray, any_hit=False)
+    closer = valid & (t < its.t)
+    rows = geom.hair_segs[si]
+    a = rows[:, 0:3]
+    ax = rows[:, 3:6] - a
+    ln = jnp.maximum(jnp.linalg.norm(ax, axis=-1), 1e-12)
+    u_ax = ax / ln[:, None]
+    p = ray.at(jnp.where(closer, t, 1.0))
+    s_ax = jnp.sum((p - a) * u_ax, axis=-1)
+    nrm = m.normalize(p - a - s_ax[:, None] * u_ax)
+    frame_phi = m.Frame.from_normal(u_ax)
+    lp = frame_phi.to_local(nrm)
+    phi = jnp.arctan2(lp[:, 1], lp[:, 0])
+    v_par = rows[:, 7] + frac * (rows[:, 8] - rows[:, 7])
+    uv = jnp.stack([phi * (0.5 / jnp.pi) + 0.5, v_par], -1)
+    dpdu = m.normalize(jnp.cross(u_ax, nrm))
+    frame = m.Frame.from_normal_tangent(nrm, dpdu)
+    wi = frame.to_local(-ray.d)
+    base = geom.n_tris + geom.n_spheres + geom.n_cylinders
+    c2 = closer[:, None]
+    return Intersection(
+        valid=its.valid | closer,
+        t=jnp.where(closer, t, its.t),
+        p=jnp.where(c2, p, its.p),
+        geo_n=jnp.where(c2, nrm, its.geo_n),
+        sh_n=jnp.where(c2, nrm, its.sh_n),
+        uv=jnp.where(c2, uv, its.uv),
+        dp_du=jnp.where(c2, dpdu, its.dp_du),
+        wi=jnp.where(c2, wi, its.wi),
+        prim_id=jnp.where(closer, base + si, its.prim_id),
+        shape_id=jnp.where(closer, rows[:, 11].astype(jnp.int32),
+                           its.shape_id),
+        material_id=jnp.where(closer, rows[:, 9].astype(jnp.int32),
+                              its.material_id),
+        emitter_id=jnp.where(closer, rows[:, 10].astype(jnp.int32),
+                             its.emitter_id),
+    )
+
+
 def _analytic_any(geom: GeometryTables, ray: Ray):
     occ = jnp.zeros(ray.o.shape[0], bool)
     if geom.n_spheres > 0:
@@ -1270,6 +1455,8 @@ def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
     its = _ray_intersect_tri(geom, ray)
     if geom.has_analytic:
         its = _merge_analytic(geom, ray, its)
+    if geom.n_hair > 0:
+        its = _merge_hair(geom, ray, its)
     return its
 
 
@@ -1279,6 +1466,8 @@ def ray_test(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
     occ = _ray_test_tri(geom, ray)
     if geom.has_analytic:
         occ = occ | _analytic_any(geom, ray)
+    if geom.n_hair > 0:
+        occ = occ | _hair_any(geom, ray)
     return occ
 
 
@@ -1290,4 +1479,7 @@ def ray_intersect_and_test(geom: GeometryTables, ray: Ray, sray: Ray):
     if geom.has_analytic:
         its = _merge_analytic(geom, ray, its)
         occ = occ | _analytic_any(geom, sray)
+    if geom.n_hair > 0:
+        its = _merge_hair(geom, ray, its)
+        occ = occ | _hair_any(geom, sray)
     return its, occ

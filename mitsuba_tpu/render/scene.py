@@ -60,6 +60,7 @@ class SceneBuilder:
         self.textures = TextureBuilder(build_mips=build_mips)
         self._shapes = []     # (mesh, material_id, emitter_id, shape_id)
         self._analytic = dict(spheres=[], cylinders=[])
+        self._hair = []             # (segments dict, material_id, sid)
         self._n_shapes = 0          # shared id space: meshes + analytic
         self._shape_interior = []   # per shape: medium index or -1
         self._media = []            # (sigma_s, sigma_a, g)
@@ -145,6 +146,16 @@ class SceneBuilder:
             (tuple(p0), tuple(p1), float(radius), int(material_id),
              int(emitter_id), sid))
         self._shape_interior.append(int(interior_medium))
+        return sid
+
+    def add_hair(self, segments, material_id):
+        """Analytic hair fiber segments (reference src/shapes/hair.cpp
+        — exact per-segment cylinder intersection, NOT tessellated).
+        segments: dict(a, b, r, u0, u1) from io.hairio.load_hair_segments."""
+        sid = self._n_shapes
+        self._n_shapes += 1
+        self._hair.append((segments, int(material_id), sid))
+        self._shape_interior.append(-1)
         return sid
 
     def add_area_emitter_shape(self, mesh, material_id, radiance):
@@ -241,7 +252,8 @@ class SceneBuilder:
 
     def _build_shapes(self, backend: str) -> Scene:
         if not self._shapes and not (self._analytic["spheres"]
-                                     or self._analytic["cylinders"]):
+                                     or self._analytic["cylinders"]
+                                     or self._hair):
             raise ValueError("scene has no shapes")
         if not self._shapes:
             # analytic-only scene: the triangle tables still need >=1 row;
@@ -260,9 +272,24 @@ class SceneBuilder:
                     "true instancing requires the cluster backend")
             backend = "cluster"
             instanced = (self._inst_groups, self._instances)
+        hair = None
+        if self._hair:
+            import numpy as _np2
+
+            parts = []
+            for seg, hmid, hsid in self._hair:
+                h = seg["a"].shape[0]
+                parts.append(dict(
+                    a=seg["a"], b=seg["b"], r=seg["r"],
+                    u0=seg["u0"], u1=seg["u1"],
+                    mid=_np2.full(h, hmid, _np2.int32),
+                    eid=_np2.full(h, -1, _np2.int32),
+                    sid=_np2.full(h, hsid, _np2.int32)))
+            hair = {k: _np2.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
         geom = build_geometry(self._shapes, backend=backend,
                               analytic=self._analytic,
-                              instanced=instanced)
+                              instanced=instanced, hair=hair)
         # triangle->emitter binding arrives in BVH order inside geom
         tri_emitter = np.asarray(geom.emitter_id)
         # areas in the same (BVH) order
