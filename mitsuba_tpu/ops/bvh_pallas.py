@@ -150,7 +150,11 @@ def _packet_body(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_,
             return new_nd, occ
         t_b, u_b, v_b, p_b = st[1], st[2], st[3], st[4]
         for k in range(4):
-            t, u, v, hit = mt(jnp.minimum(first + k, n_tris - 1), t_b)
+            # cap by maxt too so hits beyond the ray segment never displace
+            # a closer in-segment candidate (final t_b < mx check still
+            # rejects rows where nothing in-segment was found)
+            t, u, v, hit = mt(jnp.minimum(first + k, n_tris - 1),
+                              jnp.minimum(t_b, mx))
             take = hit & box_hit & is_leaf & any_hit & (k < count)
             t_b = jnp.where(take, t, t_b)
             u_b = jnp.where(take, u, u_b)
@@ -177,7 +181,9 @@ def _closest_kernel(n_nodes, n_tris, nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz
         rcp(d_x), rcp(d_y), rcp(d_z), mn, mx, n_nodes, n_tris,
         shadow=False,
     )
-    # cap t_best by maxt at the end (t_cap during traversal used t_best only)
+    # final maxt cap: box pruning already uses min(t_best, maxt), but the
+    # triangle test inside the walk caps by t_best alone, so lanes can
+    # record hits beyond maxt inside boxes straddling the cap — reject here
     _, t_b, u_b, v_b, p_b = st
     ok = (p_b >= 0) & (t_b < mx)
     t_out[...] = t_b

@@ -818,6 +818,16 @@ def _stream_on() -> bool:
     return os.environ.get("MTS_STREAM", "1") != "0"
 
 
+def _exact_on() -> bool:
+    """Work-list v5 (exact-cull item stream) kill switch: set MTS_EXACT=0
+    to fall back to v4/v3. v5 culls exactly per lane (hierarchical
+    refine kernels) and streams front-to-back 8-tri clusters with
+    pipeline-prefetched blocks — ~10x v4 on incoherent bounce rays."""
+    import os
+
+    return os.environ.get("MTS_EXACT", "1") != "0"
+
+
 def _overflow_fb() -> str:
     """Cluster-backend overflow fallback: 'pallas' packet-BVH kernel
     (default) or 'xla' packed-row walk (env MTS_OVERFLOW_FB).
@@ -866,6 +876,33 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
             shape_id=jnp.where(valid, r["shape_id"], -1),
         )
     if geom.backend == "cluster" and _use_pallas() \
+            and not geom.has_instances and _exact_on():
+        # exact-cull item stream (work-list v5): per-lane exact
+        # hierarchical cull -> front-to-back 8-tri cluster lists,
+        # pipeline-prefetched flat item kernel (ops/exact_pallas.py).
+        # Rows whose true candidate count exceeds a cap hold a PARTIAL
+        # result (subset tested) and re-resolve via the packet-BVH walk.
+        from mitsuba_tpu.ops import bvh_pallas as bp
+        from mitsuba_tpu.ops import exact_pallas as ep
+
+        t, u, v, prim, valid, lane_ovf = ep.exact_closest(
+            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt)
+        lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
+        # a partial hit is an UPPER bound on the nearest distance: cap
+        # the fallback walk's maxt with it
+        fb_maxt = jnp.where(valid & jnp.isfinite(t), t, ray.maxt)
+        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, fb_maxt, -1.0))
+        tf_, uf, vf, pf, okf = bp.bvh_closest(
+            geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
+            fb_ray.mint, fb_ray.maxt, n_nodes=geom.bvh_min.shape[0],
+            n_tris=geom.n_tris)
+        take_fb = lane_ovf & okf & (~valid | (tf_ < t))
+        t = jnp.where(take_fb, tf_, t)
+        u = jnp.where(take_fb, uf, u)
+        v = jnp.where(take_fb, vf, v)
+        prim = jnp.where(take_fb, pf, prim)
+        valid = jnp.where(lane_ovf, okf | valid, valid)
+    elif geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():
         # per-row ordered streaming kernel (work-list v4): complete
         # front-to-back SC lists + run-time early exit — no overflow,
@@ -1079,6 +1116,22 @@ def _ray_intersect_and_test_tri(geom: GeometryTables, ray: Ray,
 
 
 def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
+    if geom.backend == "cluster" and _use_pallas() \
+            and not geom.has_instances and _exact_on():
+        from mitsuba_tpu.ops import bvh_pallas as bp
+        from mitsuba_tpu.ops import exact_pallas as ep
+
+        occ, lane_ovf = ep.exact_any(
+            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt)
+        # overflow rows tested a subset: occluded lanes stand (any hit is
+        # a hit); unoccluded overflow lanes re-test via the packet walk
+        lane_ovf = lane_ovf & (ray.mint <= ray.maxt) & ~occ
+        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
+        fb = bp.bvh_any(
+            geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
+            fb_ray.mint, fb_ray.maxt, n_nodes=geom.bvh_min.shape[0],
+            n_tris=geom.n_tris)
+        return occ | (fb & lane_ovf)
     if geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():
         from mitsuba_tpu.ops import stream_pallas as sp
