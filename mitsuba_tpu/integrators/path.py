@@ -200,15 +200,19 @@ def _bounce_order(ray, bmin, bmax, mode: str):
     return order, _inverse_perm(order)
 
 
-def _sorted_intersect(scene, ray, mode: str = "full"):
+def _sorted_intersect(scene, ray, mode: str = "full",
+                      presorted: bool = False, coherent: bool = False):
     """Sort rays (dead lanes last — they'd otherwise widen live rows'
     conservative intervals with stale origins/directions), intersect,
-    un-permute the record."""
+    un-permute the record. presorted skips the sort (camera wavefronts
+    already arrive in pixel-Morton order); coherent: see ray_intersect."""
+    if presorted:
+        return ray_intersect(scene.geom, ray, coherent=coherent)
     bmin = scene.geom.bvh_min[0]
     bmax = scene.geom.bvh_max[0]
     order, inv = _bounce_order(ray, bmin, bmax, mode)
     ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
-    its_s = ray_intersect(scene.geom, ray_s)
+    its_s = ray_intersect(scene.geom, ray_s, coherent=coherent)
     return jax.tree_util.tree_map(lambda x: x[inv], its_s)
 
 
@@ -347,7 +351,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
     # per-lane dp/dx state through the scan)
     cone_alpha = 2.0 * scene.camera.tan_half_fov_y / scene.height
 
-    def bounce(carry, xs):
+    def make_bounce(first: bool):
+      def bounce(carry, xs):
         (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
          rays_traced, path_len, pend_ray, pend_contrib, pend_ok,
          pred_table, pred_hits, guide_mass) = carry
@@ -382,8 +387,13 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                 + jnp.sum((hitp & active).astype(jnp.float32)) \
                 + jnp.sum((occ_pred & pend_ok).astype(jnp.float32))
         if cfg.sort_rays:
-            its = _sorted_intersect(scene, ray_q, cfg.sort_mode)
-            s_occ = _sorted_test(scene, pend_q, cfg.sort_mode)
+            # first (peeled) bounce: camera rays arrive pixel-Morton
+            # sorted (skip the argsort), are coherent (small cull caps),
+            # and carry NO pending NEE (skip the shadow query outright)
+            its = _sorted_intersect(scene, ray_q, cfg.sort_mode,
+                                    presorted=first, coherent=first)
+            s_occ = jnp.zeros(n, bool) if first \
+                else _sorted_test(scene, pend_q, cfg.sort_mode)
         else:
             its, s_occ = ray_intersect_and_test(scene.geom, ray_q, pend_q)
         if cfg.hit_prediction:
@@ -589,13 +599,25 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                  depth_count, rays_traced, path_len, pend_ray, pend_contrib,
                  pend_ok, pred_table, pred_hits, guide_mass)
         return carry, None
+      return bounce
 
+    bounce = make_bounce(False)
     body = jax.checkpoint(bounce) if cfg.remat else bounce
-    carry, _ = jax.lax.scan(
-        body, init,
-        (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, u_gpick, u_gbin,
-         is_last, do_rr),
-    )
+    xs = (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, u_gpick, u_gbin,
+          is_last, do_rr)
+    # peel the first bounce for the sorted cluster path: coherent caps,
+    # no argsort, no dead shadow query (camera rays have no pending NEE)
+    import os
+    peel = cfg.sort_rays and not cfg.hit_prediction and d_max > 1 \
+        and os.environ.get("MTS_PEEL", "1") != "0"
+    if peel:
+        b0 = make_bounce(True)
+        body0 = jax.checkpoint(b0) if cfg.remat else b0
+        carry, _ = body0(init, jax.tree_util.tree_map(lambda a: a[0], xs))
+        carry, _ = jax.lax.scan(
+            body, carry, jax.tree_util.tree_map(lambda a: a[1:], xs))
+    else:
+        carry, _ = jax.lax.scan(body, init, xs)
     (L, throughput, ray, active, prev_pdf, prev_delta, depth_count,
      rays_traced, _path_len, pend_ray, pend_contrib, pend_ok,
      _pred_table, pred_hits, guide_mass_out) = carry

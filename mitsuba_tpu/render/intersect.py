@@ -843,9 +843,118 @@ def _overflow_fb() -> str:
     return os.environ.get("MTS_OVERFLOW_FB", "pallas")
 
 
-def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
+def _rootcap_on() -> bool:
+    """Root-exit maxt capping kill switch (MTS_ROOTCAP=0 disables)."""
+    import os
+
+    return os.environ.get("MTS_ROOTCAP", "1") != "0"
+
+
+def _cap_root_exit(geom: GeometryTables, ray: Ray) -> Ray:
+    """Clamp maxt to the root-AABB exit distance (dead where the root box
+    is missed). Semantically free for triangle queries — nothing lies
+    outside the root — but it tightens every per-lane slab footprint in
+    the exact cull: escaping bounce rays and envmap NEE shadow rays
+    otherwise carry maxt=inf and accumulate candidates along their whole
+    infinite extent (more items per row, more capacity overflow)."""
+    lo = geom.bvh_min[0][None]
+    hi = geom.bvh_max[0][None]
+    inv = jnp.where(jnp.abs(ray.d) > 1e-12, 1.0 / ray.d, 3e38)
+    t0 = (lo - ray.o) * inv
+    t1 = (hi - ray.o) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    # small relative+absolute slack: the cull/kernels recompute slabs
+    # with different op orders; a hit exactly at the boundary must stay
+    # inside the capped interval
+    cap = tf * 1.0002 + 1e-5
+    hit = (tf >= jnp.maximum(tn, ray.mint)) & (tf > 0)
+    return replace(ray, maxt=jnp.where(hit, jnp.minimum(ray.maxt, cap),
+                                       -1.0))
+
+
+def _fallback_closest(geom: GeometryTables, ray: Ray, t, u, v, prim,
+                      valid, lane_ovf, use_pallas_fb: bool = True):
+    """Re-resolve overflow lanes of a partial work-list result through a
+    complete backend and merge (shared by the v3 and v5 dispatch arms).
+
+    An overflow lane holds a PARTIAL result: any hit it found is a true
+    hit and therefore an UPPER bound on the nearest distance (only a
+    subset of clusters was tested) — the fallback walk's maxt is capped
+    with it so the packet walk prunes everything behind it. When NO lane
+    overflowed (the common case for the exact v5 cull) the entire
+    fallback launch is skipped via lax.cond."""
+    fb_maxt = jnp.where(valid & jnp.isfinite(t), t, ray.maxt)
+    fb_ray = replace(ray, maxt=jnp.where(lane_ovf, fb_maxt, -1.0))
+
+    def run(fb_ray):
+        if use_pallas_fb:
+            from mitsuba_tpu.ops import bvh_pallas as bp
+
+            tf_, uf, vf, pf, okf = bp.bvh_closest(
+                geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
+                fb_ray.mint, fb_ray.maxt,
+                n_nodes=geom.bvh_min.shape[0], n_tris=geom.n_tris)
+        else:
+            tf_, uf, vf, pf, okf = _closest_bvh(geom, fb_ray)
+        if geom.has_instances:
+            # the static walk doesn't see instances: extend the fallback
+            # with the exact per-instance walks (virtual prim ids)
+            tf_, uf, vf, pf, okf = _instances_closest(
+                geom, fb_ray, tf_, (uf, vf), pf, okf)
+        return tf_, uf, vf, pf, okf
+
+    def skip(fb_ray):
+        z = jnp.zeros_like(t)
+        return z, z, z, jnp.zeros_like(prim), jnp.zeros_like(valid)
+
+    tf_, uf, vf, pf, okf = jax.lax.cond(jnp.any(lane_ovf), run, skip,
+                                        fb_ray)
+    # keep the NEARER of the work-list result (a true hit, possibly not
+    # the nearest in an overflow row) and the fallback walk
+    take_fb = lane_ovf & okf & (~valid | (tf_ < t))
+    t = jnp.where(take_fb, tf_, t)
+    u = jnp.where(take_fb, uf, u)
+    v = jnp.where(take_fb, vf, v)
+    prim = jnp.where(take_fb, pf, prim)
+    valid = jnp.where(lane_ovf, okf | valid, valid)
+    return t, u, v, prim, valid
+
+
+def _fallback_any(geom: GeometryTables, ray: Ray, occ, lane_ovf,
+                  use_pallas_fb: bool = True):
+    """Any-hit analog of _fallback_closest: occluded overflow lanes
+    stand (any hit is a hit); unoccluded overflow lanes re-test through
+    a complete backend, skipped entirely when none overflowed."""
+    lane_ovf = lane_ovf & ~occ
+    fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
+
+    def run(fb_ray):
+        if use_pallas_fb:
+            from mitsuba_tpu.ops import bvh_pallas as bp
+
+            fb = bp.bvh_any(
+                geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
+                fb_ray.mint, fb_ray.maxt,
+                n_nodes=geom.bvh_min.shape[0], n_tris=geom.n_tris)
+        else:
+            fb = _any_bvh(geom, fb_ray)
+        if geom.has_instances:
+            fb = fb | _instances_any(geom, fb_ray)
+        return fb
+
+    fb = jax.lax.cond(jnp.any(lane_ovf), run,
+                      lambda r: jnp.zeros_like(occ), fb_ray)
+    return occ | (fb & lane_ovf)
+
+
+def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
+                       coherent: bool = False) -> Intersection:
     """Triangle-only closest-hit query → full Intersection record
-    (reference skdtree.h:352 fillIntersectionRecord equivalent)."""
+    (reference skdtree.h:352 fillIntersectionRecord equivalent).
+    coherent: camera/low-divergence wavefront hint — the exact-cull
+    backend then builds at the small CAPS_COHERENT capacity preset
+    (the build cost scales with the caps)."""
     if geom.backend == "brute" and _use_pallas():
         # fused kernel: shading record interpolated on-chip, no HBM gathers
         from mitsuba_tpu.ops import intersect_pallas as ip
@@ -876,32 +985,23 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
             shape_id=jnp.where(valid, r["shape_id"], -1),
         )
     if geom.backend == "cluster" and _use_pallas() \
-            and not geom.has_instances and _exact_on():
+            and not geom.has_instances and _exact_on() \
+            and geom.ex_tri is not None:
         # exact-cull item stream (work-list v5): per-lane exact
         # hierarchical cull -> front-to-back 8-tri cluster lists,
         # pipeline-prefetched flat item kernel (ops/exact_pallas.py).
         # Rows whose true candidate count exceeds a cap hold a PARTIAL
         # result (subset tested) and re-resolve via the packet-BVH walk.
-        from mitsuba_tpu.ops import bvh_pallas as bp
         from mitsuba_tpu.ops import exact_pallas as ep
 
+        if _rootcap_on():
+            ray = _cap_root_exit(geom, ray)
+        caps = ep.CAPS_COHERENT if coherent else ep.CAPS_DIFFUSE
         t, u, v, prim, valid, lane_ovf = ep.exact_closest(
-            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt)
+            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt, caps=caps)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
-        # a partial hit is an UPPER bound on the nearest distance: cap
-        # the fallback walk's maxt with it
-        fb_maxt = jnp.where(valid & jnp.isfinite(t), t, ray.maxt)
-        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, fb_maxt, -1.0))
-        tf_, uf, vf, pf, okf = bp.bvh_closest(
-            geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
-            fb_ray.mint, fb_ray.maxt, n_nodes=geom.bvh_min.shape[0],
-            n_tris=geom.n_tris)
-        take_fb = lane_ovf & okf & (~valid | (tf_ < t))
-        t = jnp.where(take_fb, tf_, t)
-        u = jnp.where(take_fb, uf, u)
-        v = jnp.where(take_fb, vf, v)
-        prim = jnp.where(take_fb, pf, prim)
-        valid = jnp.where(lane_ovf, okf | valid, valid)
+        t, u, v, prim, valid = _fallback_closest(
+            geom, ray, t, u, v, prim, valid, lane_ovf)
     elif geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():
         # per-row ordered streaming kernel (work-list v4): complete
@@ -918,41 +1018,13 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray) -> Intersection:
             geom.wl_tables, ray.o, ray.d, ray.mint, ray.maxt,
             w_factor=wp.DEFAULT_W_FACTOR, l_sc=wp.DEFAULT_L_SC)
         # rows that overflowed a cull beam carry a lower bound only:
-        # re-resolve those lanes through the XLA packed-row walk (rays in
-        # non-overflow rows get mint>maxt -> their walk exits immediately)
+        # re-resolve those lanes through a complete backend (the pallas
+        # packet-BVH kernel by default -- see _overflow_fb)
         lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
             ray.mint <= ray.maxt)
-        # overflow lanes that DID find a hit hold an UPPER bound on the
-        # true nearest distance (the work-list tested a subset of
-        # clusters): cap the fallback walk's maxt with it so packet/walk
-        # traversal prunes everything behind the partial hit
-        fb_maxt = jnp.where(valid & jnp.isfinite(t), t, ray.maxt)
-        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, fb_maxt, -1.0))
-        if _overflow_fb() == "pallas":
-            # packet-BVH kernel fallback: cheaper when many rows overflow
-            # (bounce wavefronts); the XLA walk exits in one iteration
-            # when almost nothing overflowed (camera wavefronts)
-            from mitsuba_tpu.ops import bvh_pallas as bp
-
-            tf_, uf, vf, pf, okf = bp.bvh_closest(
-                geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
-                fb_ray.mint, fb_ray.maxt, n_nodes=geom.bvh_min.shape[0],
-                n_tris=geom.n_tris)
-        else:
-            tf_, uf, vf, pf, okf = _closest_bvh(geom, fb_ray)
-        if geom.has_instances:
-            # the static walk doesn't see instances: extend the fallback
-            # with the exact per-instance walks (virtual prim ids)
-            tf_, uf, vf, pf, okf = _instances_closest(
-                geom, fb_ray, tf_, (uf, vf), pf, okf)
-        # keep the NEARER of the work-list result (a true hit, possibly
-        # not the nearest in an overflow row) and the fallback walk
-        take_fb = lane_ovf & okf & (~valid | (tf_ < t))
-        t = jnp.where(take_fb, tf_, t)
-        u = jnp.where(take_fb, uf, u)
-        v = jnp.where(take_fb, vf, v)
-        prim = jnp.where(take_fb, pf, prim)
-        valid = jnp.where(lane_ovf, okf | valid, valid)
+        t, u, v, prim, valid = _fallback_closest(
+            geom, ray, t, u, v, prim, valid, lane_ovf,
+            use_pallas_fb=_overflow_fb() == "pallas")
     elif geom.backend == "bvh" and _use_pallas():
         from mitsuba_tpu.ops import bvh_pallas as bp
 
@@ -1117,21 +1189,16 @@ def _ray_intersect_and_test_tri(geom: GeometryTables, ray: Ray,
 
 def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
     if geom.backend == "cluster" and _use_pallas() \
-            and not geom.has_instances and _exact_on():
-        from mitsuba_tpu.ops import bvh_pallas as bp
+            and not geom.has_instances and _exact_on() \
+            and geom.ex_tri is not None:
         from mitsuba_tpu.ops import exact_pallas as ep
 
+        if _rootcap_on():
+            ray = _cap_root_exit(geom, ray)
         occ, lane_ovf = ep.exact_any(
             geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt)
-        # overflow rows tested a subset: occluded lanes stand (any hit is
-        # a hit); unoccluded overflow lanes re-test via the packet walk
-        lane_ovf = lane_ovf & (ray.mint <= ray.maxt) & ~occ
-        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
-        fb = bp.bvh_any(
-            geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
-            fb_ray.mint, fb_ray.maxt, n_nodes=geom.bvh_min.shape[0],
-            n_tris=geom.n_tris)
-        return occ | (fb & lane_ovf)
+        lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
+        return _fallback_any(geom, ray, occ, lane_ovf)
     if geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():
         from mitsuba_tpu.ops import stream_pallas as sp
@@ -1145,20 +1212,9 @@ def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
             geom.wl_tables, ray.o, ray.d, ray.mint, ray.maxt,
             w_factor=wp.DEFAULT_W_FACTOR, l_sc=wp.DEFAULT_L_SC)
         lane_ovf = jnp.repeat(ovf, wp.LANES)[:ray.o.shape[0]] & (
-            ray.mint <= ray.maxt) & ~occ
-        fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
-        if _overflow_fb() == "pallas":
-            from mitsuba_tpu.ops import bvh_pallas as bp
-
-            fb = bp.bvh_any(
-                geom.bvh_rows, geom.tri_rows, fb_ray.o, fb_ray.d,
-                fb_ray.mint, fb_ray.maxt, n_nodes=geom.bvh_min.shape[0],
-                n_tris=geom.n_tris)
-        else:
-            fb = _any_bvh(geom, fb_ray)
-        if geom.has_instances:
-            fb = fb | _instances_any(geom, fb_ray)
-        return occ | (fb & lane_ovf)
+            ray.mint <= ray.maxt)
+        return _fallback_any(geom, ray, occ, lane_ovf,
+                             use_pallas_fb=_overflow_fb() == "pallas")
     if geom.backend in ("bvh", "cluster"):
         if _use_pallas():
             from mitsuba_tpu.ops import bvh_pallas as bp
@@ -1502,10 +1558,12 @@ def _merge_analytic(geom: GeometryTables, ray: Ray, its: Intersection):
     return best
 
 
-def ray_intersect(geom: GeometryTables, ray: Ray) -> Intersection:
+def ray_intersect(geom: GeometryTables, ray: Ray,
+                  coherent: bool = False) -> Intersection:
     """Closest-hit query → full Intersection record; triangles via the
-    backend kernels, analytic primitives merged in XLA."""
-    its = _ray_intersect_tri(geom, ray)
+    backend kernels, analytic primitives merged in XLA. coherent: see
+    _ray_intersect_tri."""
+    its = _ray_intersect_tri(geom, ray, coherent=coherent)
     if geom.has_analytic:
         its = _merge_analytic(geom, ray, its)
     if geom.n_hair > 0:

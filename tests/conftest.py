@@ -23,6 +23,34 @@ assert jax.device_count() == 8, (
 
 import pytest  # noqa: E402
 
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: test measured >=5s on the CPU backend; excluded "
+        "from the fast lane (pytest -m 'not slow', <6 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark tests listed in slow_tests.txt (measured >=5 s) as slow.
+
+    The list holds parametrization-stripped node ids; regenerate with
+      pytest tests/ -q --durations=0 | awk '$1+0>=5{print $3}' \\
+        | sed 's/\\[.*//' | sort -u > tests/slow_tests.txt
+    Fast lane:  python -m pytest tests/ -m "not slow" -q   (~5 min)
+    Full suite: python -m pytest tests/ -q                 (~33 min)
+    """
+    try:
+        with open(_SLOW_LIST) as f:
+            slow = {ln.strip() for ln in f if ln.strip()}
+    except OSError:
+        return
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if base in slow:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
