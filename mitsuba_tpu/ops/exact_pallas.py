@@ -510,6 +510,13 @@ def _pad_rows(rays, n_rows):
 
 
 def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret):
+    # maxt=inf breaks the closest kernel's accumulator: misses carry the
+    # _BIG sentinel and `improved = tmin < t_best` accepts 3e38 < inf as
+    # a hit (garbage prim, every lane "valid"). Round-3's config-3
+    # render shipped with exactly this (Ray.make defaults maxt=inf) and
+    # silently rendered wrong. Clamp below the sentinel; no scene
+    # extends past 1e30.
+    maxt = jnp.minimum(maxt, 1e30)
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
     chunks = _pad_rows(rays, n_rows)
 

@@ -109,3 +109,26 @@ def test_exact_overflow_rows_flagged_not_wrong(geom):
         np.testing.assert_allclose(np.asarray(t)[both],
                                    np.asarray(t0)[both], rtol=1e-5,
                                    atol=1e-5)
+
+
+def test_exact_closest_maxt_inf_no_bogus_hits(geom):
+    """maxt=inf regression (round-4 find): the closest accumulator once
+    accepted the _BIG miss sentinel as an improvement over t_best=inf,
+    making EVERY lane report a garbage hit — the render passes
+    Ray.make's default maxt=inf straight in."""
+    n = 256
+    o, d = _rays(n, seed=3)
+    mint = jnp.full(n, 1e-3)
+    caps = (128, 16, 32, 96)
+    t, u, v, prim, valid, ovf = ep.exact_closest(
+        geom.ex_tables, o, d, mint, jnp.full(n, jnp.inf), caps=caps,
+        interpret=True)
+    ray = Ray(o=o, d=d, mint=mint, maxt=jnp.full(n, jnp.inf))
+    t0, u0, v0, p0, ok0 = _closest_brute(geom, ray)
+    m = ~np.asarray(ovf)
+    assert (np.asarray(valid)[m] == np.asarray(ok0)[m]).all()
+    occ, ovf_a = ep.exact_any(geom.ex_tables, o, d, mint,
+                              jnp.full(n, jnp.inf), caps=caps,
+                              interpret=True)
+    m = ~np.asarray(ovf_a)
+    assert (np.asarray(occ)[m] == np.asarray(ok0)[m]).all()
