@@ -33,9 +33,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench_scene(scene, spp: int, depth: int, rounds: int = 2,
-                morton: bool = False):
+                morton: bool = False, expect_mean=None):
     """Dependency-chained wavefront path-trace benchmark on `scene`.
-    Returns Mrays/s (rays = closest + shadow, kdbench accounting)."""
+    Returns Mrays/s (rays = closest + shadow, kdbench accounting).
+
+    expect_mean: optional (lo, hi) band for the mean pixel value,
+    validated against a CPU-reference render of the same scene
+    (scripts: /tmp recipe in docs/PERF_NOTES.md round 4). A fast number
+    from a WRONG render is worthless — round 3 shipped config-3 with a
+    broken intersector and benchmarked garbage; this gate zeroes the
+    score instead."""
     from mitsuba_tpu.integrators import PathConfig
     from mitsuba_tpu.integrators.path import path_trace, pixel_morton_perm
     from mitsuba_tpu.render.sampler import Sampler
@@ -74,6 +81,14 @@ def bench_scene(scene, spp: int, depth: int, rounds: int = 2,
     # (block_until_ready can return before execution completes there)
     _ = float(img_sum[0])
     rays_traced = float(rays)
+    if expect_mean is not None:
+        mean = float(jnp.sum(img_sum)) / (3 * n)
+        lo, hi = expect_mean
+        if not (lo <= mean <= hi):
+            print(f"BENCH INVALID: mean pixel value {mean:.4f} outside "
+                  f"CPU-reference band [{lo}, {hi}] — refusing to report "
+                  f"a throughput for a wrong render", file=sys.stderr)
+            return 0.0
 
     best = float("inf")
     for _ in range(rounds):
@@ -143,20 +158,24 @@ def main():
 
     suite = []
 
+    # expect_mean bands: CPU-reference means (0.147 / 0.146 / 0.287 at
+    # 128px) with a generous +-40% MC/resolution margin
     s1 = cornell_box(256, 256, backend="brute")
-    m1 = bench_scene(s1, spp=16, depth=5)
+    m1 = bench_scene(s1, spp=16, depth=5, expect_mean=(0.09, 0.21))
     suite.append({"config": "1_cornell_brute_256", "value": round(m1, 3),
                   "unit": "Mrays/s", "vs_baseline": round(m1 / 50.0, 4)})
 
     # specular box: analytic glass sphere + 32 wall/block tris -> brute
     # kernel + XLA-merged analytic primitives (auto picks brute)
     s2 = cornell_box_specular(512, 512, backend="auto")
-    m2 = bench_scene(s2, spp=4, depth=5, morton=True)
+    m2 = bench_scene(s2, spp=4, depth=5, morton=True,
+                     expect_mean=(0.09, 0.21))
     suite.append({"config": "2_specular_cornell_512", "value": round(m2, 3),
                   "unit": "Mrays/s", "vs_baseline": round(m2 / 50.0, 4)})
 
     s3 = textured_mesh_scene(512, 512, backend="cluster")
-    m3 = bench_scene(s3, spp=4, depth=5, morton=True)
+    m3 = bench_scene(s3, spp=4, depth=5, morton=True,
+                     expect_mean=(0.17, 0.41))
     suite.append({"config": "3_textured_mesh_cluster", "value": round(m3, 3),
                   "unit": "Mrays/s", "vs_baseline": round(m3 / 50.0, 4)})
 

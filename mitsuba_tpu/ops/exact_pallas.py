@@ -521,11 +521,34 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret):
     chunks = _pad_rows(rays, n_rows)
 
     def chunk_fn(rays_c):
-        ids, blk_tn, ovf = build_exact_items(rays_c, ex, caps,
-                                             interpret=interpret)
-        out = _call_items(ex["tri"], rays_c, ids, blk_tn,
-                          any_hit=any_hit, interpret=interpret)
-        return out, ovf
+        def run(rays_c):
+            ids, blk_tn, ovf = build_exact_items(rays_c, ex, caps,
+                                                 interpret=interpret)
+            out = _call_items(ex["tri"], rays_c, ids, blk_tn,
+                              any_hit=any_hit, interpret=interpret)
+            return out, ovf
+
+        def skip(rays_c):
+            # all-miss chunk encoding (matches the kernel's b==0 init)
+            out = jnp.zeros((rays_c.shape[0], 8, LANES), jnp.float32)
+            if not any_hit:
+                out = out.at[:, 0, :].set(rays_c[:, 7])        # t = maxt
+                out = out.at[:, 3, :].set(
+                    jax.lax.bitcast_convert_type(
+                        jnp.full((rays_c.shape[0], LANES), -1, jnp.int32),
+                        jnp.float32))
+            return out, jnp.zeros((rays_c.shape[0],), bool)
+
+        # wavefronts arrive sorted dead-last: at depth 3+ most row-chunks
+        # are fully terminated (maxt < mint on every lane) — skip their
+        # whole build+kernel via cond (interpret mode: Pallas calls
+        # inside lax.cond branches aren't supported by the interpreter's
+        # effect tracing on all versions; the skip is a pure TPU-path
+        # optimization anyway)
+        if interpret:
+            return run(rays_c)
+        live = jnp.any(rays_c[:, 7] >= rays_c[:, 6])
+        return jax.lax.cond(live, run, skip, rays_c)
 
     outs, ovfs = jax.lax.map(chunk_fn, chunks)
     out = outs.reshape(-1, 8, LANES)[:n_rows]
