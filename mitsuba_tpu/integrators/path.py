@@ -67,6 +67,12 @@ class PathConfig:
     aniso_filter: bool = False  # EWA anisotropic filtering in the render
                                 # path (implies mip_filter; reference
                                 # mipmap.h:110 EWA)
+    skip_direct_emission: bool = False  # zero the depth-0 emitter-hit and
+                                # env-escape terms: the SSS irradiance
+                                # cache adds its own NEE direct estimate
+                                # and uses path_trace for INDIRECT-only
+                                # incident radiance (dipole.cpp splits
+                                # direct/indirect samples the same way)
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -318,6 +324,10 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
         u_gpick = u_gbin = jnp.zeros((d_max, 1))
     is_last = (jnp.arange(d_max) + 1) >= d_max       # (D,)
     do_rr = jnp.arange(d_max) >= cfg.rr_depth        # (D,)
+    # depth-0 emission gate (see PathConfig.skip_direct_emission)
+    em_w = jnp.ones(d_max)
+    if cfg.skip_direct_emission:
+        em_w = em_w.at[0].set(0.0)
 
     init = (
         jnp.zeros((n, 3)),            # L
@@ -357,7 +367,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
          rays_traced, path_len, pend_ray, pend_contrib, pend_ok,
          pred_table, pred_hits, guide_mass) = carry
         (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, u_gpick, u_gbin,
-         is_last, do_rr) = xs
+         is_last, do_rr, em_w) = xs
         act_in = active                 # lanes tracing at bounce entry
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32)) \
             + jnp.sum(pend_ok.astype(jnp.float32))
@@ -414,7 +424,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
         env = eval_environment(scene.emitters, ray.d)
         env_pdf = pdf_environment(scene.emitters, ray.d)
         w_env = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, env_pdf))
-        L = L + jnp.where(esc[:, None], throughput * env * w_env[:, None], 0.0)
+        L = L + em_w * jnp.where(esc[:, None],
+                                 throughput * env * w_env[:, None], 0.0)
 
         active = active & its.valid
         if cfg.strict_normals:
@@ -458,7 +469,8 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
             emitter_id=its.emitter_id,
         )
         w_bsdf = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, lum_pdf))
-        L = L + jnp.where(active[:, None], throughput * le * w_bsdf[:, None], 0.0)
+        L = L + em_w * jnp.where(active[:, None],
+                                 throughput * le * w_bsdf[:, None], 0.0)
 
         # --- subsurface scattering (reference: integrators call
         # Subsurface::Lo at every surface interaction, path.cpp via
@@ -604,7 +616,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
     bounce = make_bounce(False)
     body = jax.checkpoint(bounce) if cfg.remat else bounce
     xs = (u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr, u_gpick, u_gbin,
-          is_last, do_rr)
+          is_last, do_rr, em_w)
     # peel the first bounce for the sorted cluster path: coherent caps,
     # no argsort, no dead shadow query (camera rays have no pending NEE)
     import os

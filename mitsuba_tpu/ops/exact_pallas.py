@@ -54,6 +54,10 @@ _DET_EPS = 1e-12
 # (scripts/exp_r3_caps.py); overflow rows fall back.
 CAPS_COHERENT = (128, 16, 32, 96)
 CAPS_DIFFUSE = (256, 160, 384, 512)
+# second-tier caps for rows that overflow CAPS_DIFFUSE (re-run on the
+# compacted overflow rows only — see render/intersect.py _retier);
+# ~4x item capacity, sized so p99.9+ of bounce rows fit
+CAPS_XL = (256, 256, 1024, 2048)
 
 
 # ---------------------------------------------------------------------------
@@ -379,8 +383,15 @@ def _make_item_kernel(n_blocks: int, any_hit: bool):
         @pl.when(b == 0)
         def _():
             if any_hit:
+                # slot 0 = occlusion flag; slot 1 = per-lane t_bound:
+                # maxt while unoccluded, collapses to mint-1 on occlusion
+                # so the ordered block skip below prunes like the
+                # closest kernel (round-4: any-hit was 1.8x closest
+                # without this — unoccluded lanes forced the full list,
+                # and occluded rows kept paying the block sweep)
                 out_ref[0, 0:1, :] = jnp.zeros((1, LANES), jnp.float32)
-                out_ref[0, 1:8, :] = jnp.zeros((7, LANES), jnp.float32)
+                out_ref[0, 1:2, :] = maxt
+                out_ref[0, 2:8, :] = jnp.zeros((6, LANES), jnp.float32)
             else:
                 out_ref[0, 0:1, :] = maxt
                 out_ref[0, 1:3, :] = jnp.zeros((2, LANES), jnp.float32)
@@ -390,12 +401,11 @@ def _make_item_kernel(n_blocks: int, any_hit: bool):
 
         blk_t = blk_pf[r, b]
         if any_hit:
-            # settled when every live lane is occluded (dead lanes have
-            # mint > maxt and count as settled)
-            occ = out_ref[0, 0:1, :]
-            live = (mnb <= maxt).astype(jnp.float32)
-            settled = jnp.min(occ + (1.0 - live)) > 0.0
-            do = (blk_t < _BIG) & jnp.logical_not(settled)
+            # ordered skip: a block whose entry exceeds every lane's
+            # bound cannot occlude anyone; once all lanes are occluded
+            # (or dead: maxt<mint) max(t_bound) < blk_t for every block
+            t_bound = out_ref[0, 1:2, :]
+            do = blk_t <= jnp.max(t_bound)
         else:
             t_best = out_ref[0, 0:1, :]
             do = blk_t <= jnp.max(t_best)
@@ -413,7 +423,10 @@ def _make_item_kernel(n_blocks: int, any_hit: bool):
                         hit_any,
                         jnp.max((t_run < _BIG).astype(jnp.float32),
                                 axis=0, keepdims=True))
-                out_ref[0, 0:1, :] = jnp.maximum(occ, hit_any)
+                occ_new = jnp.maximum(occ, hit_any)
+                out_ref[0, 0:1, :] = occ_new
+                out_ref[0, 1:2, :] = jnp.where(occ_new > 0.0,
+                                               mnb - 1.0, maxt)
             else:
                 tb = out_ref[0, 0:1, :]
                 ub = out_ref[0, 1:2, :]
@@ -496,17 +509,24 @@ def _call_items(ex_tri, rays, ids, blk_tn, any_hit: bool,
 R_CHUNK = 320
 
 
-def _pad_rows(rays, n_rows):
-    """Pad the row axis to a multiple of R_CHUNK with dead rows
+def _r_chunk(caps):
+    """Chunk rows so the item kernel's SMEM prefetch (ids (Rc, E3) i32 +
+    blk keys) stays under the 1 MB scalar-memory budget at any caps."""
+    e3 = caps[3]
+    return max(32, min(R_CHUNK, (900 * 1024) // (e3 * 5)))
+
+
+def _pad_rows(rays, n_rows, r_chunk=R_CHUNK):
+    """Pad the row axis to a multiple of r_chunk with dead rows
     (maxt = -1 < mint, so they produce no candidates and no hits)."""
-    nc = -(-n_rows // R_CHUNK)
-    pad = nc * R_CHUNK - n_rows
+    nc = -(-n_rows // r_chunk)
+    pad = nc * r_chunk - n_rows
     if pad:
         dead = jnp.zeros((pad, 8, LANES), jnp.float32)
         dead = dead.at[:, 7].set(-1.0)
         dead = dead.at[:, 5].set(1.0)
         rays = jnp.concatenate([rays, dead], axis=0)
-    return rays.reshape(nc, R_CHUNK, 8, LANES)
+    return rays.reshape(nc, r_chunk, 8, LANES)
 
 
 def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret):
@@ -518,7 +538,7 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret):
     # extends past 1e30.
     maxt = jnp.minimum(maxt, 1e30)
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
-    chunks = _pad_rows(rays, n_rows)
+    chunks = _pad_rows(rays, n_rows, _r_chunk(caps))
 
     def chunk_fn(rays_c):
         def run(rays_c):

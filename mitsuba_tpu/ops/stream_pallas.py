@@ -305,6 +305,9 @@ def _make_stream_kernel(k_cl: int, sc_cl: int, any_hit: bool):
 
 def _call_stream(geom_st, o, d, mint, maxt, any_hit: bool,
                  interpret: bool = False):
+    # maxt=inf would let the _BIG miss sentinel pass `tmin < tb`
+    # (same failure class as exact_pallas round-4 fix); clamp below it
+    maxt = jnp.minimum(maxt, 1e30)
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
     ids, tns = build_sc_lists(rays, geom_st["sc_bmin"], geom_st["sc_bmax"])
     tri = geom_st["sc_tri"]        # (c_s, K, 128): lane = cluster*16+field

@@ -948,6 +948,178 @@ def _fallback_any(geom: GeometryTables, ray: Ray, occ, lane_ovf,
     return occ | (fb & lane_ovf)
 
 
+def _retier_perm(lane_ovf, n):
+    """Row-compaction permutation putting overflow rows first.
+
+    Returns (lane_perm (R*128,), inv (R*128,)): gathering rays through
+    lane_perm concentrates all overflow rows at the front, so the XL
+    re-run only materializes the first R_XL rows (capacity below)."""
+    R = -(-n // LANE_ROW)
+    pad = R * LANE_ROW - n
+    ovf_p = jnp.pad(lane_ovf, (0, pad))
+    row_ovf = jnp.any(ovf_p.reshape(R, LANE_ROW), axis=1)
+    row_order = jnp.argsort(~row_ovf)        # stable: overflow rows first
+    lane_perm = (row_order[:, None] * LANE_ROW
+                 + jnp.arange(LANE_ROW, dtype=row_order.dtype)[None]
+                 ).reshape(-1)
+    inv = jnp.zeros(R * LANE_ROW, lane_perm.dtype).at[lane_perm].set(
+        jnp.arange(R * LANE_ROW, dtype=lane_perm.dtype),
+        unique_indices=True)
+    return lane_perm, inv
+
+
+LANE_ROW = 128
+
+
+def _retier_capacity(n):
+    """XL-tier row budget: 1/8 of the wavefront's rows (overflow runs a
+    few % in practice); rows beyond it stay flagged for the complete
+    stream fallback."""
+    R = -(-n // LANE_ROW)
+    return max(8, R // 8)
+
+
+def _retier_closest(geom: GeometryTables, ray: Ray, t, u, v, prim, valid,
+                    lane_ovf):
+    """Re-resolve CAPS_DIFFUSE-overflow rows at CAPS_XL on a row-
+    compacted, CAPACITY-BOUNDED ray subset (~4 % of bounce rows
+    overflow; the complete-backend fallback they previously hit cost
+    more than the whole main query). Returns merged results + the
+    residual (XL-overflow or beyond-capacity) lane mask."""
+    from mitsuba_tpu.ops import exact_pallas as ep
+
+    n = ray.o.shape[0]
+    r_xl = _retier_capacity(n)
+    m_xl = r_xl * LANE_ROW
+
+    def run(args):
+        t, u, v, prim, valid, lane_ovf = args
+        perm, inv = _retier_perm(lane_ovf, n)
+        sel = perm[:m_xl]
+        fb_maxt = jnp.where(valid & jnp.isfinite(t), t, ray.maxt)
+        mx = jnp.where(lane_ovf, fb_maxt, -1.0)
+
+        def g(x, fill=0.0):
+            xp = jnp.pad(x, ((0, perm.shape[0] - n),) + ((0, 0),)
+                         * (x.ndim - 1), constant_values=fill)
+            return xp[sel]
+
+        t2, u2, v2, p2, ok2, ovf2 = ep.exact_closest(
+            geom.ex_tables, g(ray.o), g(ray.d), g(ray.mint, 1.0),
+            g(mx, -1.0), caps=ep.CAPS_XL)
+
+        # map back: original lane i sits at rank inv[i]; ranks >= m_xl
+        # were not re-run (beyond capacity) and stay overflowed
+        rk = inv[:n]
+        in_xl = rk < m_xl
+        rkc = jnp.minimum(rk, m_xl - 1)
+        t2 = t2[rkc]
+        u2 = u2[rkc]
+        v2 = v2[rkc]
+        p2 = p2[rkc]
+        ok2 = ok2[rkc] & in_xl
+        ovf2 = ovf2[rkc]
+        take = lane_ovf & ok2 & (~valid | (t2 < t))
+        t = jnp.where(take, t2, t)
+        u = jnp.where(take, u2, u)
+        v = jnp.where(take, v2, v)
+        prim = jnp.where(take, p2, prim)
+        resolved = lane_ovf & in_xl & ~ovf2
+        valid = jnp.where(resolved, ok2 | valid, valid)
+        residual = lane_ovf & (~in_xl | ovf2)
+        return t, u, v, prim, valid, residual
+
+    def skip(args):
+        return args
+
+    return jax.lax.cond(jnp.any(lane_ovf), run, skip,
+                        (t, u, v, prim, valid, lane_ovf))
+
+
+def _retier_any(geom: GeometryTables, ray: Ray, occ, lane_ovf):
+    """Any-hit analog of _retier_closest."""
+    from mitsuba_tpu.ops import exact_pallas as ep
+
+    n = ray.o.shape[0]
+    r_xl = _retier_capacity(n)
+    m_xl = r_xl * LANE_ROW
+
+    def run(args):
+        occ, lane_ovf = args
+        todo = lane_ovf & ~occ
+        perm, inv = _retier_perm(todo, n)
+        sel = perm[:m_xl]
+        mx = jnp.where(todo, ray.maxt, -1.0)
+
+        def g(x, fill=0.0):
+            xp = jnp.pad(x, ((0, perm.shape[0] - n),) + ((0, 0),)
+                         * (x.ndim - 1), constant_values=fill)
+            return xp[sel]
+
+        occ2, ovf2 = ep.exact_any(
+            geom.ex_tables, g(ray.o), g(ray.d), g(ray.mint, 1.0),
+            g(mx, -1.0), caps=ep.CAPS_XL)
+        rk = inv[:n]
+        in_xl = rk < m_xl
+        rkc = jnp.minimum(rk, m_xl - 1)
+        occ2 = occ2[rkc] & in_xl
+        ovf2 = ovf2[rkc]
+        return occ | (occ2 & todo), todo & (~in_xl | ovf2) & ~occ2
+
+    def skip(args):
+        return args
+
+    return jax.lax.cond(jnp.any(lane_ovf), run, skip, (occ, lane_ovf))
+
+
+def _fallback_closest_stream(geom: GeometryTables, ray: Ray, t, u, v,
+                             prim, valid, lane_ovf):
+    """v5 overflow fallback via the COMPLETE v4 streaming intersector
+    (ops/stream_pallas.py): full per-row front-to-back lists, run-time
+    ordered early exit, no capacity and hence no residual overflow. The
+    packet-BVH walk it replaces ran ~0.5 Mrays/s on incoherent rows —
+    at a few % overflow that dominated the whole v5 render. Dead rows
+    (non-overflow lanes get maxt=-1) cost one immediate-exit grid step."""
+    from mitsuba_tpu.ops import stream_pallas as sp
+
+    fb_maxt = jnp.where(valid & jnp.isfinite(t), t, ray.maxt)
+    fb_ray = replace(ray, maxt=jnp.where(lane_ovf, fb_maxt, -1.0))
+
+    def run(fb_ray):
+        return sp.stream_closest(geom.st_tables, fb_ray.o, fb_ray.d,
+                                 fb_ray.mint, fb_ray.maxt)
+
+    def skip(fb_ray):
+        z = jnp.zeros_like(t)
+        return z, z, z, jnp.zeros_like(prim), jnp.zeros_like(valid)
+
+    tf_, uf, vf, pf, okf = jax.lax.cond(jnp.any(lane_ovf), run, skip,
+                                        fb_ray)
+    take_fb = lane_ovf & okf & (~valid | (tf_ < t))
+    t = jnp.where(take_fb, tf_, t)
+    u = jnp.where(take_fb, uf, u)
+    v = jnp.where(take_fb, vf, v)
+    prim = jnp.where(take_fb, pf, prim)
+    valid = jnp.where(lane_ovf, okf | valid, valid)
+    return t, u, v, prim, valid
+
+
+def _fallback_any_stream(geom: GeometryTables, ray: Ray, occ, lane_ovf):
+    """Any-hit analog of _fallback_closest_stream."""
+    from mitsuba_tpu.ops import stream_pallas as sp
+
+    lane_ovf = lane_ovf & ~occ
+    fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
+
+    def run(fb_ray):
+        return sp.stream_any(geom.st_tables, fb_ray.o, fb_ray.d,
+                             fb_ray.mint, fb_ray.maxt)
+
+    fb = jax.lax.cond(jnp.any(lane_ovf), run,
+                      lambda r: jnp.zeros_like(occ), fb_ray)
+    return occ | (fb & lane_ovf)
+
+
 def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
                        coherent: bool = False) -> Intersection:
     """Triangle-only closest-hit query → full Intersection record
@@ -1000,7 +1172,9 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
         t, u, v, prim, valid, lane_ovf = ep.exact_closest(
             geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt, caps=caps)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
-        t, u, v, prim, valid = _fallback_closest(
+        t, u, v, prim, valid, lane_ovf = _retier_closest(
+            geom, ray, t, u, v, prim, valid, lane_ovf)
+        t, u, v, prim, valid = _fallback_closest_stream(
             geom, ray, t, u, v, prim, valid, lane_ovf)
     elif geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():
@@ -1198,7 +1372,8 @@ def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
         occ, lane_ovf = ep.exact_any(
             geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
-        return _fallback_any(geom, ray, occ, lane_ovf)
+        occ, lane_ovf = _retier_any(geom, ray, occ, lane_ovf)
+        return _fallback_any_stream(geom, ray, occ, lane_ovf)
     if geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():
         from mitsuba_tpu.ops import stream_pallas as sp

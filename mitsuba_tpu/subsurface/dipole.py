@@ -112,9 +112,19 @@ def sample_irradiance_points(mesh_or_geom, n_points: int, seed: int = 0,
     )
 
 
-def compute_irradiance(scene, points, normals, n_samples: int = 8, seed: int = 0):
-    """NEE irradiance estimate at every sample point, vectorized (the
-    reference's IrradianceSamplingProcess, irrproc.cpp)."""
+def compute_irradiance(scene, points, normals, n_samples: int = 8,
+                       seed: int = 0, indirect_depth: int = 3,
+                       n_indirect: int = 4):
+    """Irradiance estimate at every sample point, vectorized.
+
+    Direct part: NEE toward the scene's emitters (the reference's
+    IrradianceSamplingProcess, irrproc.cpp:44-120). Indirect part
+    (reference dipole.cpp:362-468 samples irradiance *via the scene's
+    integrator*, indirect included): cosine-sampled hemisphere rays
+    evaluated with the wavefront path tracer, with the depth-0
+    emitter-hit/env terms gated off (PathConfig.skip_direct_emission)
+    so direct light is not double-counted; E_ind = pi * mean L. Set
+    indirect_depth=0 for the old direct-only estimate."""
     m_pts = points.shape[0]
     e_total = jnp.zeros((m_pts, 3))
     for s in range(n_samples):
@@ -129,7 +139,53 @@ def compute_irradiance(scene, points, normals, n_samples: int = 8, seed: int = 0
         ok = ds.valid & ~occ & (ds.pdf > 0)
         contrib = ds.value * (cos_i / jnp.maximum(ds.pdf, 1e-20))[:, None]
         e_total = e_total + jnp.where(ok[:, None], contrib, 0.0)
-    return e_total / n_samples
+    e_total = e_total / n_samples
+    if indirect_depth > 0 and n_indirect > 0:
+        e_total = e_total + _indirect_irradiance(
+            scene, points, normals, n_indirect, indirect_depth, seed)
+    return e_total
+
+
+def _indirect_irradiance(scene, points, normals, n_ind: int,
+                         depth: int, seed: int):
+    """pi * E_cos[L_indirect]: cosine-hemisphere rays from each cache
+    point traced with the full path integrator (NEE inside), first-
+    vertex emission gated off. The scene is stripped of its subsurface
+    table: cache points must not gather through the cache being built
+    (the reference likewise excludes self-subsurface, dipole.cpp)."""
+    import dataclasses as _dc
+
+    from mitsuba_tpu.core.types import replace as _replace
+    from mitsuba_tpu.core.warp import square_to_cosine_hemisphere
+    from mitsuba_tpu.integrators.path import PathConfig, path_trace
+    from mitsuba_tpu.render.sampler import Sampler
+
+    m_pts = points.shape[0]
+    scene_ni = _replace(scene, subsurface=None)
+    cfg = PathConfig(max_depth=depth, spp=1, remat=False,
+                     skip_direct_emission=True)
+    fr_s, fr_t = _frame_tangents(normals)
+    acc = jnp.zeros((m_pts, 3))
+    eps = m.EPSILON * jnp.maximum(1.0, jnp.abs(points).max(-1))
+    for s in range(n_ind):
+        k = jax.random.fold_in(jax.random.key(seed ^ 0x5A5A), s)
+        u2 = jax.random.uniform(jax.random.fold_in(k, 3), (m_pts, 2))
+        d_loc = square_to_cosine_hemisphere(u2)
+        d = (fr_s * d_loc[:, 0:1] + fr_t * d_loc[:, 1:2]
+             + normals * d_loc[:, 2:3])
+        ray = Ray.make(points, d, mint=eps)
+        sampler = Sampler(seed * 131 + 7 + s, jnp.arange(m_pts),
+                          jnp.zeros(m_pts, jnp.int32))
+        L, _aux = path_trace(scene_ni, ray, sampler, cfg)
+        acc = acc + L
+    # cosine-weighted estimator: E = pi * mean(L) (pdf = cos/pi)
+    return jnp.pi * acc / n_ind
+
+
+def _frame_tangents(n):
+    """Orthonormal tangents for normals n (N, 3)."""
+    fr = m.Frame.from_normal(n)
+    return fr.s, fr.t
 
 
 @pytree_dataclass

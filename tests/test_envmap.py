@@ -34,8 +34,8 @@ def test_latlong_roundtrip():
 
 def test_env_sampling_chi2():
     img = random_env(1)
-    row_cdf, cond_cdf, pdf_img = build_env_cdfs(img)
-    rc, cc, pi = jnp.asarray(row_cdf), jnp.asarray(cond_cdf), jnp.asarray(pdf_img)
+    prob, alias, pdf_img = build_env_cdfs(img)
+    rc, cc, pi = jnp.asarray(prob), jnp.asarray(alias), jnp.asarray(pdf_img)
 
     def sample_fn(key, n):
         u2 = jax.random.uniform(key, (n, 2))

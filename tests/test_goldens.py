@@ -31,8 +31,10 @@ def test_golden(name):
             "/root/reference/data/tests/bunny.ply"):
         pytest.skip("bunny.ply unavailable")
     g = np.load(path)
-    scene, depth = SCENES[name]()
-    mean, var = render_stats(scene, depth, TEST_SPP, seed=777)
+    out = SCENES[name]()
+    scene, depth = out[0], out[1]
+    kind = out[2] if len(out) > 2 else "path"
+    mean, var = render_stats(scene, depth, TEST_SPP, seed=777, kind=kind)
     frac = _welch_fail_fraction(mean, var, TEST_SPP,
                                 g["mean"], g["var"], int(g["spp"]))
     assert frac < 0.01, (name, frac)

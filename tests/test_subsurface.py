@@ -106,3 +106,47 @@ def test_adipole_anisotropy():
     v_along = float(adipole_rd(p, r_along, axis, aniso_ratio=2.0)[0, 0])
     v_perp = float(adipole_rd(p, r_perp, axis, aniso_ratio=2.0)[0, 0])
     assert v_along > v_perp
+
+
+def test_indirect_irradiance_captured():
+    """A one-sided emitter faces AWAY from the cache plane; light reaches
+    it only after bouncing off a white ceiling. The direct-only
+    estimator (round-3 state, indirect_depth=0) sees ~nothing; the
+    integrator-backed estimate (reference dipole.cpp:362 samples via the
+    scene integrator) must see the bounce light."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mitsuba_tpu.render import mesh as mesh_mod
+    from mitsuba_tpu.render.scene import SceneBuilder
+    from mitsuba_tpu.render.camera import make_perspective
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.subsurface.dipole import compute_irradiance
+
+    b = SceneBuilder()
+    white = b.materials.lambertian((0.8, 0.8, 0.8))
+    # emitter at y=1 facing +y (away from the floor below)
+    b.add_area_emitter_shape(
+        mesh_mod.make_quad([-0.4, 1.0, -0.4], [-0.4, 1.0, 0.4],
+                           [0.4, 1.0, 0.4], [0.4, 1.0, -0.4]),
+        white, (5.0, 5.0, 5.0))
+    # white ceiling at y=2 facing down
+    b.add_shape(mesh_mod.make_quad([-2, 2.0, -2], [2, 2.0, -2],
+                                   [2, 2.0, 2], [-2, 2.0, 2]), white)
+    cam = make_perspective(tf.look_at([0, 1, -3], [0, 0.5, 0], [0, 1, 0]),
+                           fov_deg=45.0, aspect=1.0)
+    b.set_camera(cam, 16, 16)
+    scene = b.build(backend="bvh")
+
+    pts = jnp.asarray(np.stack([np.linspace(-0.2, 0.2, 64),
+                                np.zeros(64), np.zeros(64)], -1),
+                      jnp.float32)
+    nrm = jnp.asarray(np.tile([0.0, 1.0, 0.0], (64, 1)), jnp.float32)
+    e_dir = compute_irradiance(scene, pts, nrm, n_samples=8,
+                               indirect_depth=0)
+    e_full = compute_irradiance(scene, pts, nrm, n_samples=8,
+                                indirect_depth=3, n_indirect=32)
+    dmean = float(jnp.mean(e_dir))
+    fmean = float(jnp.mean(e_full))
+    assert dmean < 1e-4, dmean          # emitter faces away: no direct
+    assert fmean > 10 * max(dmean, 1e-6), (dmean, fmean)
