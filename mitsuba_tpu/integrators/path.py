@@ -206,6 +206,43 @@ def _bounce_order(ray, bmin, bmax, mode: str):
     return order, _inverse_perm(order)
 
 
+def _perm_pytree(tree, order):
+    """Permute every leaf of a pytree by `order` with ONE row-gather.
+
+    tree_map(lambda x: x[order], tree) issues one (N,)-gather per
+    channel; on TPU each 1M-element gather costs ~11 ms (measured,
+    scripts/exp_r4_body.py — the 22-channel Intersection un-permute was
+    247 ms/bounce). Packing all float channels into a single (N, C)
+    matrix turns that into ONE row-gather whose per-index cost amortizes
+    over C fields. Integer/bool leaves are bitcast into the same matrix."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols = []
+    specs = []          # (ndim, width, dtype)
+    for x in leaves:
+        x2 = x[:, None] if x.ndim == 1 else x
+        w = x2.shape[1]
+        if x2.dtype == jnp.bool_:
+            x2 = x2.astype(jnp.int32)
+        if jnp.issubdtype(x2.dtype, jnp.integer):
+            x2 = jax.lax.bitcast_convert_type(x2.astype(jnp.int32),
+                                              jnp.float32)
+        specs.append((x.ndim, w, x.dtype))
+        cols.append(x2)
+    packed = jnp.concatenate(cols, axis=1)
+    g = packed[order]
+    out = []
+    c = 0
+    for (ndim, w, dt) in specs:
+        sl = g[:, c:c + w]
+        c += w
+        if dt == jnp.bool_:
+            sl = jax.lax.bitcast_convert_type(sl, jnp.int32) != 0
+        elif jnp.issubdtype(dt, jnp.integer):
+            sl = jax.lax.bitcast_convert_type(sl, jnp.int32).astype(dt)
+        out.append(sl[:, 0] if ndim == 1 else sl)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _sorted_intersect(scene, ray, mode: str = "full",
                       presorted: bool = False, coherent: bool = False):
     """Sort rays (dead lanes last — they'd otherwise widen live rows'
@@ -217,9 +254,9 @@ def _sorted_intersect(scene, ray, mode: str = "full",
     bmin = scene.geom.bvh_min[0]
     bmax = scene.geom.bvh_max[0]
     order, inv = _bounce_order(ray, bmin, bmax, mode)
-    ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
+    ray_s = _perm_pytree(ray, order)
     its_s = ray_intersect(scene.geom, ray_s, coherent=coherent)
-    return jax.tree_util.tree_map(lambda x: x[inv], its_s)
+    return _perm_pytree(its_s, inv)
 
 
 def _sorted_test(scene, ray, mode: str = "full"):
@@ -228,7 +265,7 @@ def _sorted_test(scene, ray, mode: str = "full"):
     bmin = scene.geom.bvh_min[0]
     bmax = scene.geom.bvh_max[0]
     order, inv = _bounce_order(ray, bmin, bmax, mode)
-    ray_s = jax.tree_util.tree_map(lambda x: x[order], ray)
+    ray_s = _perm_pytree(ray, order)
     return ray_test(scene.geom, ray_s)[inv]
 
 

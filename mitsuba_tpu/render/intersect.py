@@ -119,6 +119,9 @@ class GeometryTables:
     ex_b2hi: jnp.ndarray = None
     ex_ct1: jnp.ndarray = None       # (C8/64, 8, 128) L1-child box table
     ex_ct0: jnp.ndarray = None       # (C8/8, 8, 128) K8-child box table
+    # scene-statistics cull capacities (exact_pallas.auto_caps):
+    # (diffuse, coherent, xl) cap tuples; None -> module defaults
+    ex_caps: tuple = static_field(default=None)
     backend: str = static_field(default="brute")
 
     @property
@@ -296,6 +299,9 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
                 ex_b2hi=jnp.asarray(b1hi.reshape(C8 // 64, 8, 3).max(1)),
                 ex_ct1=jnp.asarray(pack_child_table(b1lo, b1hi)),
                 ex_ct0=jnp.asarray(pack_child_table(mt8.bmin, mt8.bmax)),
+                ex_caps=__import__(
+                    "mitsuba_tpu.ops.exact_pallas",
+                    fromlist=["auto_caps"]).auto_caps(C8),
             )
         if instanced and instanced[1]:
             groups, instances = instanced
@@ -1004,9 +1010,10 @@ def _retier_closest(geom: GeometryTables, ray: Ray, t, u, v, prim, valid,
                          * (x.ndim - 1), constant_values=fill)
             return xp[sel]
 
+        xl = geom.ex_caps[2] if geom.ex_caps else ep.CAPS_XL
         t2, u2, v2, p2, ok2, ovf2 = ep.exact_closest(
             geom.ex_tables, g(ray.o), g(ray.d), g(ray.mint, 1.0),
-            g(mx, -1.0), caps=ep.CAPS_XL)
+            g(mx, -1.0), caps=xl)
 
         # map back: original lane i sits at rank inv[i]; ranks >= m_xl
         # were not re-run (beyond capacity) and stay overflowed
@@ -1056,9 +1063,10 @@ def _retier_any(geom: GeometryTables, ray: Ray, occ, lane_ovf):
                          * (x.ndim - 1), constant_values=fill)
             return xp[sel]
 
+        xl = geom.ex_caps[2] if geom.ex_caps else ep.CAPS_XL
         occ2, ovf2 = ep.exact_any(
             geom.ex_tables, g(ray.o), g(ray.d), g(ray.mint, 1.0),
-            g(mx, -1.0), caps=ep.CAPS_XL)
+            g(mx, -1.0), caps=xl)
         rk = inv[:n]
         in_xl = rk < m_xl
         rkc = jnp.minimum(rk, m_xl - 1)
@@ -1074,50 +1082,103 @@ def _retier_any(geom: GeometryTables, ray: Ray, occ, lane_ovf):
 
 def _fallback_closest_stream(geom: GeometryTables, ray: Ray, t, u, v,
                              prim, valid, lane_ovf):
-    """v5 overflow fallback via the COMPLETE v4 streaming intersector
-    (ops/stream_pallas.py): full per-row front-to-back lists, run-time
-    ordered early exit, no capacity and hence no residual overflow. The
-    packet-BVH walk it replaces ran ~0.5 Mrays/s on incoherent rows —
-    at a few % overflow that dominated the whole v5 render. Dead rows
-    (non-overflow lanes get maxt=-1) cost one immediate-exit grid step."""
+    """Complete re-resolve of residual overflow lanes via the v4
+    streaming intersector (full per-row lists, ordered early exit, no
+    capacity). Rows are row-compacted to a 1/8 capacity first — the
+    stream call's fixed costs (full-width conservative build + one grid
+    step per row) were ~360 ms on a full 1M-lane set when only a few %%
+    of rows needed it. Residuals beyond capacity re-run on the full set
+    (pathological; practically never)."""
     from mitsuba_tpu.ops import stream_pallas as sp
 
+    n = ray.o.shape[0]
+    r_xl = _retier_capacity(n)
+    m_xl = r_xl * LANE_ROW
     fb_maxt = jnp.where(valid & jnp.isfinite(t), t, ray.maxt)
-    fb_ray = replace(ray, maxt=jnp.where(lane_ovf, fb_maxt, -1.0))
+    mx_all = jnp.where(lane_ovf, fb_maxt, -1.0)
 
-    def run(fb_ray):
-        return sp.stream_closest(geom.st_tables, fb_ray.o, fb_ray.d,
-                                 fb_ray.mint, fb_ray.maxt)
+    def merge(t, u, v, prim, valid, tf_, uf, vf, pf, okf):
+        take = lane_ovf & okf & (~valid | (tf_ < t))
+        return (jnp.where(take, tf_, t), jnp.where(take, uf, u),
+                jnp.where(take, vf, v), jnp.where(take, pf, prim),
+                jnp.where(lane_ovf, okf | valid, valid))
 
-    def skip(fb_ray):
-        z = jnp.zeros_like(t)
-        return z, z, z, jnp.zeros_like(prim), jnp.zeros_like(valid)
+    def run(args):
+        t, u, v, prim, valid = args
+        perm, inv = _retier_perm(lane_ovf, n)
+        n_rows_ovf = jnp.sum(jnp.any(
+            jnp.pad(lane_ovf, (0, perm.shape[0] - n)).reshape(
+                -1, LANE_ROW), axis=1))
 
-    tf_, uf, vf, pf, okf = jax.lax.cond(jnp.any(lane_ovf), run, skip,
-                                        fb_ray)
-    take_fb = lane_ovf & okf & (~valid | (tf_ < t))
-    t = jnp.where(take_fb, tf_, t)
-    u = jnp.where(take_fb, uf, u)
-    v = jnp.where(take_fb, vf, v)
-    prim = jnp.where(take_fb, pf, prim)
-    valid = jnp.where(lane_ovf, okf | valid, valid)
-    return t, u, v, prim, valid
+        def compacted(_):
+            sel = perm[:m_xl]
+
+            def g(x, fill=0.0):
+                xp = jnp.pad(x, ((0, perm.shape[0] - n),) + ((0, 0),)
+                             * (x.ndim - 1), constant_values=fill)
+                return xp[sel]
+
+            tf_, uf, vf, pf, okf = sp.stream_closest(
+                geom.st_tables, g(ray.o), g(ray.d), g(ray.mint, 1.0),
+                g(mx_all, -1.0))
+            rk = inv[:n]
+            rkc = jnp.minimum(rk, m_xl - 1)
+            in_xl = rk < m_xl
+            return (tf_[rkc], uf[rkc], vf[rkc], pf[rkc],
+                    okf[rkc] & in_xl)
+
+        def full(_):
+            return sp.stream_closest(geom.st_tables, ray.o, ray.d,
+                                     ray.mint, mx_all)
+
+        tf_, uf, vf, pf, okf = jax.lax.cond(n_rows_ovf <= r_xl,
+                                            compacted, full, 0)
+        return merge(t, u, v, prim, valid, tf_, uf, vf, pf, okf)
+
+    def skip(args):
+        return args
+
+    return jax.lax.cond(jnp.any(lane_ovf), run, skip,
+                        (t, u, v, prim, valid))
 
 
 def _fallback_any_stream(geom: GeometryTables, ray: Ray, occ, lane_ovf):
-    """Any-hit analog of _fallback_closest_stream."""
+    """Any-hit analog of _fallback_closest_stream (row-compacted)."""
     from mitsuba_tpu.ops import stream_pallas as sp
 
+    n = ray.o.shape[0]
+    r_xl = _retier_capacity(n)
+    m_xl = r_xl * LANE_ROW
     lane_ovf = lane_ovf & ~occ
-    fb_ray = replace(ray, maxt=jnp.where(lane_ovf, ray.maxt, -1.0))
+    mx_all = jnp.where(lane_ovf, ray.maxt, -1.0)
 
-    def run(fb_ray):
-        return sp.stream_any(geom.st_tables, fb_ray.o, fb_ray.d,
-                             fb_ray.mint, fb_ray.maxt)
+    def run(occ):
+        perm, inv = _retier_perm(lane_ovf, n)
+        n_rows_ovf = jnp.sum(jnp.any(
+            jnp.pad(lane_ovf, (0, perm.shape[0] - n)).reshape(
+                -1, LANE_ROW), axis=1))
 
-    fb = jax.lax.cond(jnp.any(lane_ovf), run,
-                      lambda r: jnp.zeros_like(occ), fb_ray)
-    return occ | (fb & lane_ovf)
+        def compacted(_):
+            sel = perm[:m_xl]
+
+            def g(x, fill=0.0):
+                xp = jnp.pad(x, ((0, perm.shape[0] - n),) + ((0, 0),)
+                             * (x.ndim - 1), constant_values=fill)
+                return xp[sel]
+
+            fb = sp.stream_any(geom.st_tables, g(ray.o), g(ray.d),
+                               g(ray.mint, 1.0), g(mx_all, -1.0))
+            rk = inv[:n]
+            return fb[jnp.minimum(rk, m_xl - 1)] & (rk < m_xl)
+
+        def full(_):
+            return sp.stream_any(geom.st_tables, ray.o, ray.d, ray.mint,
+                                 mx_all)
+
+        fb = jax.lax.cond(n_rows_ovf <= r_xl, compacted, full, 0)
+        return occ | (fb & lane_ovf)
+
+    return jax.lax.cond(jnp.any(lane_ovf), run, lambda occ: occ, occ)
 
 
 def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
@@ -1168,9 +1229,11 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
 
         if _rootcap_on():
             ray = _cap_root_exit(geom, ray)
-        caps = ep.CAPS_COHERENT if coherent else ep.CAPS_DIFFUSE
+        dif, coh, _xl = geom.ex_caps or (ep.CAPS_DIFFUSE,
+                                         ep.CAPS_COHERENT, ep.CAPS_XL)
         t, u, v, prim, valid, lane_ovf = ep.exact_closest(
-            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt, caps=caps)
+            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt,
+            caps=coh if coherent else dif)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
         t, u, v, prim, valid, lane_ovf = _retier_closest(
             geom, ray, t, u, v, prim, valid, lane_ovf)
@@ -1369,8 +1432,9 @@ def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
 
         if _rootcap_on():
             ray = _cap_root_exit(geom, ray)
+        dif = (geom.ex_caps or (ep.CAPS_DIFFUSE,))[0]
         occ, lane_ovf = ep.exact_any(
-            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt)
+            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt, caps=dif)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
         occ, lane_ovf = _retier_any(geom, ray, occ, lane_ovf)
         return _fallback_any_stream(geom, ray, occ, lane_ovf)

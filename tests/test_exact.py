@@ -132,3 +132,20 @@ def test_exact_closest_maxt_inf_no_bogus_hits(geom):
                               interpret=True)
     m = ~np.asarray(ovf_a)
     assert (np.asarray(occ)[m] == np.asarray(ok0)[m]).all()
+
+
+def test_exact_closest_auto_caps(geom):
+    """auto_caps(C8) must yield correct results (overflow-flagged rows
+    excluded) at every tier for a small scene."""
+    n = 256
+    o, d = _rays(n, seed=5)
+    mint = jnp.full(n, 1e-3)
+    maxt = jnp.full(n, 1e9)
+    dif, coh, xl = ep.auto_caps(geom.ex_tables["tri"].shape[0])
+    ray = Ray(o=o, d=d, mint=mint, maxt=maxt)
+    t0, _, _, _, ok0 = _closest_brute(geom, ray)
+    for caps in (dif, coh, xl):
+        t, u, v, prim, valid, ovf = ep.exact_closest(
+            geom.ex_tables, o, d, mint, maxt, caps=caps, interpret=True)
+        m = ~np.asarray(ovf)
+        assert (np.asarray(valid)[m] == np.asarray(ok0)[m]).all(), caps
