@@ -85,12 +85,17 @@ def build_env_cdfs(image):
 
 
 def env_eval(image, d, to_env=None, scale=1.0):
-    """Bilinear radiance lookup for directions d (world)."""
+    """Bilinear radiance lookup for directions d (world).
+
+    Gathers through FLAT single-index rows of the (H*W, 3) image — a
+    2-D advanced-index gather (two index vectors) lowers to a slower
+    XLA gather than one flat row-gather on TPU."""
     if to_env is not None:
         from mitsuba_tpu.core import transform as tf
         d = tf.apply_vector(to_env, d)
     uv = latlong_dir_to_uv(d)
     h, w = image.shape[0], image.shape[1]
+    flat = image.reshape(h * w, -1)
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
     x0 = jnp.floor(x)
@@ -102,10 +107,10 @@ def env_eval(image, d, to_env=None, scale=1.0):
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     yi1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
     c = (
-        image[yi0, xi0] * (1 - fx) * (1 - fy)
-        + image[yi0, xi1] * fx * (1 - fy)
-        + image[yi1, xi0] * (1 - fx) * fy
-        + image[yi1, xi1] * fx * fy
+        flat[yi0 * w + xi0] * (1 - fx) * (1 - fy)
+        + flat[yi0 * w + xi1] * fx * (1 - fy)
+        + flat[yi1 * w + xi0] * (1 - fx) * fy
+        + flat[yi1 * w + xi1] * fx * fy
     )
     return c * scale
 
@@ -140,7 +145,7 @@ def env_pdf(pdf_img, d, to_env=None):
     h, w = pdf_img.shape
     col = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    return pdf_img[row, col]
+    return pdf_img.reshape(-1)[row * w + col]
 
 
 # ---------------------------------------------------------------------------

@@ -977,6 +977,14 @@ def _retier_perm(lane_ovf, n):
 LANE_ROW = 128
 
 
+def _retier_on() -> bool:
+    """XL middle tier kill switch (MTS_RETIER=0 routes overflow rows
+    straight to the compacted complete stream fallback)."""
+    import os
+
+    return os.environ.get("MTS_RETIER", "1") != "0"
+
+
 def _retier_capacity(n):
     """XL-tier row budget: 1/8 of the wavefront's rows (overflow runs a
     few % in practice); rows beyond it stay flagged for the complete
@@ -1235,8 +1243,9 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
             geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt,
             caps=coh if coherent else dif)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
-        t, u, v, prim, valid, lane_ovf = _retier_closest(
-            geom, ray, t, u, v, prim, valid, lane_ovf)
+        if _retier_on():
+            t, u, v, prim, valid, lane_ovf = _retier_closest(
+                geom, ray, t, u, v, prim, valid, lane_ovf)
         t, u, v, prim, valid = _fallback_closest_stream(
             geom, ray, t, u, v, prim, valid, lane_ovf)
     elif geom.backend == "cluster" and _use_pallas() \
@@ -1436,7 +1445,8 @@ def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
         occ, lane_ovf = ep.exact_any(
             geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt, caps=dif)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
-        occ, lane_ovf = _retier_any(geom, ray, occ, lane_ovf)
+        if _retier_on():
+            occ, lane_ovf = _retier_any(geom, ray, occ, lane_ovf)
         return _fallback_any_stream(geom, ray, occ, lane_ovf)
     if geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():

@@ -24,9 +24,10 @@ from mitsuba_tpu.core import math as m
 from mitsuba_tpu.emitters import (eval_emitter_hit, eval_environment,
                                   pdf_direct_area, pdf_environment,
                                   sample_direct)
-from mitsuba_tpu.integrators.path import (_bounce_order, mi_weight,
-                                          pixel_morton_perm)
+from mitsuba_tpu.integrators.path import (_bounce_order, _perm_pytree,
+                                          mi_weight, pixel_morton_perm)
 from mitsuba_tpu.render.intersect import ray_intersect, ray_test
+from mitsuba_tpu.ops import exact_pallas as ep
 from mitsuba_tpu.render.records import Ray
 from mitsuba_tpu.render.sampler import Sampler
 from mitsuba_tpu.render.scene import textured_mesh_scene
@@ -87,16 +88,25 @@ def main():
     sort_f = jax.jit(lambda ray: _bounce_order(ray, bmin, bmax, "full"))
     order, inv = timed(sort_f, ray, tag="argsort+inv (full mode)")
 
-    gather_ray = jax.jit(
-        lambda ray, order: jax.tree_util.tree_map(lambda x: x[order], ray))
-    ray_s = timed(gather_ray, ray, order, tag="ray gather (8ch)")
+    gather_ray = jax.jit(_perm_pytree)
+    ray_s = timed(gather_ray, ray, order, tag="ray gather (packed)")
+
+    from mitsuba_tpu.render.intersect import _cap_root_exit
+    dif = geom.ex_caps[0]
+
+    @jax.jit
+    def exact_only(ray_s):
+        r = _cap_root_exit(geom, ray_s)
+        return ep.exact_closest(geom.ex_tables, r.o, r.d, r.mint, r.maxt,
+                                caps=dif)
+    out = timed(exact_only, ray_s, tag="closest exact only")
+    print(f"    overflow frac: {float(jnp.mean(out[5])):.4f}", flush=True)
 
     isect = jax.jit(lambda ray_s: ray_intersect(geom, ray_s))
-    its_s = timed(isect, ray_s, tag="closest v5+retier+fb")
+    its_s = timed(isect, ray_s, tag="closest +retier+fb")
 
-    ungather = jax.jit(
-        lambda its, inv: jax.tree_util.tree_map(lambda x: x[inv], its))
-    its = timed(ungather, its_s, inv, tag="its ungather (22ch)")
+    ungather = jax.jit(_perm_pytree)
+    its = timed(ungather, its_s, inv, tag="its ungather (packed)")
 
     @jax.jit
     def emit_env_albedo(its, ray, L, throughput, prev_pdf, prev_delta,
@@ -153,9 +163,26 @@ def main():
     pend, contrib, nee_ok = timed(nee_sample, its, act, albedo,
                                   throughput, tag="NEE sample+bsdfeval")
 
+    @jax.jit
+    def nee_sd_only(its):
+        smp = Sampler(13, jnp.arange(n), jnp.zeros(n, jnp.int32))
+        ds = sample_direct(scene.emitters, geom, its.p, smp.next_1d(),
+                           smp.next_2d())
+        return ds.d
+    timed(nee_sd_only, its, tag="  sample_direct only")
+
+    @jax.jit
+    def nee_beval_only(its, albedo):
+        wo = its.to_local(-its.wi)
+        f = bsdf_eval(scene.materials, its.material_id, its.wi, wo,
+                      albedo=albedo, uv=its.uv)
+        pdf = bsdf_pdf(scene.materials, its.material_id, its.wi, wo)
+        return f + pdf[:, None]
+    timed(nee_beval_only, its, albedo, tag="  bsdf_eval+pdf only")
+
     sort2 = jax.jit(lambda ray: _bounce_order(ray, bmin, bmax, "full"))
     so, si = timed(sort2, pend, tag="shadow argsort+inv")
-    pend_s = timed(gather_ray, pend, so, tag="shadow ray gather")
+    pend_s = timed(gather_ray, pend, so, tag="shadow gather (packed)")
     anyq = jax.jit(lambda r: ray_test(geom, r))
     occ_s = timed(anyq, pend_s, tag="any v5+retier+fb")
     unocc = jax.jit(lambda occ, si: occ[si])
