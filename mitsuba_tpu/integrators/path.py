@@ -21,6 +21,7 @@ continuous integrands.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -460,9 +461,17 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                 its = _sorted_intersect(scene, ray_q, cfg.sort_mode,
                                         presorted=True, coherent=True)
                 s_occ = jnp.zeros(n, bool)
-            else:
+            elif os.environ.get("MTS_FUSESORT", "0") == "1":
+                # measured SLOWER (0.98 -> 0.81 Mrays/s on config-3):
+                # shadow rows inherit ray_q's order, so their octants
+                # mix and the conservative S0 prefilter degenerates —
+                # the sort+gather saving doesn't cover the fatter
+                # refine stages. Kept for future scenes where it might.
                 its, s_occ = _sorted_intersect_and_test(
                     scene, ray_q, pend_q, cfg.sort_mode)
+            else:
+                its = _sorted_intersect(scene, ray_q, cfg.sort_mode)
+                s_occ = _sorted_test(scene, pend_q, cfg.sort_mode)
         else:
             its, s_occ = ray_intersect_and_test(scene.geom, ray_q, pend_q)
         if cfg.hit_prediction:
@@ -678,7 +687,6 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
           is_last, do_rr, em_w)
     # peel the first bounce for the sorted cluster path: coherent caps,
     # no argsort, no dead shadow query (camera rays have no pending NEE)
-    import os
     peel = cfg.sort_rays and not cfg.hit_prediction and d_max > 1 \
         and os.environ.get("MTS_PEEL", "1") != "0"
     if peel:

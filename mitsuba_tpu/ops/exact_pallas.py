@@ -288,6 +288,54 @@ def pack_child_table(lo, hi):
     return tab
 
 
+def _seg_on() -> bool:
+    """Segmented (sort-free) S2/S3 compaction — NEGATIVE RESULT, default
+    OFF (MTS_SEGC=1 enables). Two designs both lost to the wide sorts
+    on v5e (config-3 e2e): (R,P,8) masked-rank compaction 0.98 -> 0.22
+    Mrays/s (minor-dim-8 arrays pad to 128 lanes: 16x traffic) and the
+    flat j-th-set-bit binary search 0.98 -> 0.56 (12 rounds of
+    take_along_axis = per-element gathers at ~11 ms/M). XLA's bitonic
+    sort keeps everything in vector registers; gather-based compaction
+    can't compete at these widths. docs/PERF_NOTES.md round 4."""
+    import os
+
+    return os.environ.get("MTS_SEGC", "0") == "1"
+
+
+def _segmented_compact(key, ids, e_out):
+    """Compact live children (key < _BIG) into a prefix of width e_out
+    WITHOUT the (R, P*8)-wide sort (TPU sorts at width 3072 were the
+    largest single build stage) and WITHOUT any (..., 8)-minor-dim
+    arrays (v1 of this used (R, P, 8) masks — TPU pads the minor dim to
+    128 lanes, a 16x traffic blowup that made the whole build slower
+    than the sort it replaced).
+
+    key/ids: (R, PE) in parent-major order with parents already sorted
+    front-to-back, so flat order IS coarse front-to-back; output slot j
+    takes the j-th live element: i(j) = index of the j-th set mask bit,
+    found by binary search over the inclusive mask cumsum.
+
+    Returns (ids_out (R, e_out) [0 at dead slots], key_out (R, e_out)
+    [_BIG at dead slots], n_live (R,))."""
+    R, PE = key.shape
+    mask = key < _BIG
+    c = jnp.cumsum(mask.astype(jnp.int32), axis=1)      # inclusive
+    n_live = c[:, -1]
+    j1 = jnp.arange(1, e_out + 1, dtype=jnp.int32)[None]   # target count
+    lo = jnp.zeros((R, e_out), jnp.int32)
+    hi = jnp.full((R, e_out), PE - 1, jnp.int32)
+    for _ in range(max(1, int(_np.ceil(_np.log2(max(PE, 2)))))):
+        mid = (lo + hi) // 2
+        c_mid = jnp.take_along_axis(c, mid, axis=1)
+        lt = c_mid < j1
+        lo = jnp.where(lt, mid + 1, lo)
+        hi = jnp.where(lt, hi, mid)
+    ok = j1 <= n_live[:, None]
+    ids_out = jnp.where(ok, jnp.take_along_axis(ids, lo, axis=1), 0)
+    key_out = jnp.where(ok, jnp.take_along_axis(key, lo, axis=1), _BIG)
+    return ids_out, key_out, n_live
+
+
 def build_exact_items(rays, ex, caps, use_kernel=True, interpret=False):
     """Hierarchical exact cull. rays (R,8,128); ex: dict with
     b2_lo/hi (C8/64,3), b1_lo/hi (C8/8,3), b0_lo/hi (C8,3).
@@ -328,10 +376,14 @@ def build_exact_items(rays, ex, caps, use_kernel=True, interpret=False):
     else:
         key2 = refine(ids64, keep64, live1p * 8, ex["b1_lo"],
                       ex["b1_hi"])
-    key2s, ids2 = jax.lax.sort_key_val(key2, ids64)
-    n2 = jnp.sum(key2 < _BIG, -1)
-    ids2 = ids2[:, :E2]
-    keep2 = key2s[:, :E2] < _BIG
+    if _seg_on():
+        ids2, key2c, n2 = _segmented_compact(key2, ids64, E2)
+        keep2 = key2c < _BIG
+    else:
+        key2s, ids2 = jax.lax.sort_key_val(key2, ids64)
+        n2 = jnp.sum(key2 < _BIG, -1)
+        ids2 = ids2[:, :E2]
+        keep2 = key2s[:, :E2] < _BIG
     live2p = jnp.minimum(n2, E2).astype(jnp.int32)
     # S3: exact K8 clusters (8 consecutive per L1)
     ids8 = (ids2[:, :, None] * 8
@@ -343,10 +395,16 @@ def build_exact_items(rays, ex, caps, use_kernel=True, interpret=False):
     else:
         key3 = refine(ids8, keep8, live2p * 8, ex["b0_lo"],
                       ex["b0_hi"])
-    key3s, ids3 = jax.lax.sort_key_val(key3, ids8)
-    n3 = jnp.sum(key3 < _BIG, -1)
-    ids = jnp.where(key3s[:, :E3] < _BIG, ids3[:, :E3], 0)
-    blk_tn = key3s[:, :E3].reshape(R, E3 // BI, BI)[:, :, 0]
+    if _seg_on():
+        ids, key3c, n3 = _segmented_compact(key3, ids8, E3)
+        # unsorted within parents: the block key must LOWER-bound every
+        # item in the block -> min-reduce instead of first-element
+        blk_tn = key3c.reshape(R, E3 // BI, BI).min(-1)
+    else:
+        key3s, ids3 = jax.lax.sort_key_val(key3, ids8)
+        n3 = jnp.sum(key3 < _BIG, -1)
+        ids = jnp.where(key3s[:, :E3] < _BIG, ids3[:, :E3], 0)
+        blk_tn = key3s[:, :E3].reshape(R, E3 // BI, BI)[:, :, 0]
     overflow = (n0 > E0) | (n1 > E1) | (n2 > E2) | (n3 > E3)
     return ids, blk_tn, overflow
 
