@@ -352,14 +352,31 @@ def build_exact_items(rays, ex, caps, use_kernel=True, interpret=False):
                                        interpret)
         return _exact_refine(rays, ids, keep, lo, hi)
 
-    # S0: conservative L2 (512-tri block) interval cull, front-to-back
-    ids0f, tns0f = build_sc_lists(rays, ex["b2_lo"], ex["b2_hi"])
-    n0 = jnp.sum(tns0f[:, 0, :] < _BIG, -1)
-    ids0 = ids0f[:, 0, :E0]
-    keep0 = tns0f[:, 0, :E0] < _BIG
-    live0 = jnp.minimum(n0, E0).astype(jnp.int32)
-    # S1: exact L2
-    key1 = refine(ids0, keep0, live0, ex["b2_lo"], ex["b2_hi"])
+    c2 = ex["b2_lo"].shape[0]
+    ct2 = ex.get("ct2")
+    if use_kernel and ct2 is not None and ct2.shape[0] * 8 <= E0:
+        # all-L2 exact kernel: every L2 box tested per row straight from
+        # the resident virtual-parent table — replaces the conservative
+        # S0 prefilter AND S1's (R,E0,3)x2 box gathers with one
+        # child-refine pass (the gather elimination that made the
+        # S2/S3 child kernels a win, applied to the root level)
+        p2 = ct2.shape[0]
+        pids = jnp.broadcast_to(
+            jnp.arange(p2, dtype=jnp.int32)[None], (R, p2))
+        live_p2 = jnp.full((R,), -(-c2 // 8), jnp.int32)
+        child = jnp.arange(p2 * 8, dtype=jnp.int32)
+        keep_a = jnp.broadcast_to((child < c2)[None], (R, p2 * 8))
+        key1 = _child_refine(rays, pids, live_p2, ct2, keep_a, interpret)
+        ids0 = jnp.broadcast_to(child[None], (R, p2 * 8))
+        n0 = jnp.zeros((R,), jnp.int32)          # exact: no E0 overflow
+    else:
+        # S0: conservative L2 interval cull + S1 exact refine
+        ids0f, tns0f = build_sc_lists(rays, ex["b2_lo"], ex["b2_hi"])
+        n0 = jnp.sum(tns0f[:, 0, :] < _BIG, -1)
+        ids0 = ids0f[:, 0, :E0]
+        keep0 = tns0f[:, 0, :E0] < _BIG
+        live0 = jnp.minimum(n0, E0).astype(jnp.int32)
+        key1 = refine(ids0, keep0, live0, ex["b2_lo"], ex["b2_hi"])
     key1s, ids1 = jax.lax.sort_key_val(key1, ids0)
     n1 = jnp.sum(key1 < _BIG, -1)
     ids1 = ids1[:, :E1]

@@ -119,6 +119,7 @@ class GeometryTables:
     ex_b2hi: jnp.ndarray = None
     ex_ct1: jnp.ndarray = None       # (C8/64, 8, 128) L1-child box table
     ex_ct0: jnp.ndarray = None       # (C8/8, 8, 128) K8-child box table
+    ex_ct2: jnp.ndarray = None       # (pad(C8/64)/8, 8, 128) root table
     # scene-statistics cull capacities (exact_pallas.auto_caps):
     # (diffuse, coherent, xl) cap tuples; None -> module defaults
     ex_caps: tuple = static_field(default=None)
@@ -134,7 +135,7 @@ class GeometryTables:
                     b0_lo=self.ex_b0lo, b0_hi=self.ex_b0hi,
                     b1_lo=self.ex_b1lo, b1_hi=self.ex_b1hi,
                     b2_lo=self.ex_b2lo, b2_hi=self.ex_b2hi,
-                    ct1=self.ex_ct1, ct0=self.ex_ct0)
+                    ct1=self.ex_ct1, ct0=self.ex_ct0, ct2=self.ex_ct2)
 
     @property
     def wl_tables(self):
@@ -182,6 +183,19 @@ class GeometryTables:
     @property
     def has_analytic(self):
         return self.n_spheres + self.n_cylinders > 0
+
+
+def _pad_boxes(lo, hi, mult=128):
+    """Pad a box list to a multiple of `mult` with far-away degenerate
+    boxes (2e30 corners: any slab entry lands beyond every clamped
+    maxt, so padding never produces candidates; NOT +-inf, whose slab
+    arithmetic NaNs)."""
+    n = lo.shape[0]
+    pad = (-n) % mult
+    if pad:
+        lo = np.concatenate([lo, np.full((pad, 3), 2e30, np.float32)])
+        hi = np.concatenate([hi, np.full((pad, 3), 2e30, np.float32)])
+    return lo, hi
 
 
 def build_geometry(meshes_with_ids, backend: str = "auto",
@@ -299,6 +313,9 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
                 ex_b2hi=jnp.asarray(b1hi.reshape(C8 // 64, 8, 3).max(1)),
                 ex_ct1=jnp.asarray(pack_child_table(b1lo, b1hi)),
                 ex_ct0=jnp.asarray(pack_child_table(mt8.bmin, mt8.bmax)),
+                ex_ct2=jnp.asarray(pack_child_table(*_pad_boxes(
+                    b1lo.reshape(C8 // 64, 8, 3).min(1),
+                    b1hi.reshape(C8 // 64, 8, 3).max(1)))),
                 ex_caps=__import__(
                     "mitsuba_tpu.ops.exact_pallas",
                     fromlist=["auto_caps"]).auto_caps(C8),
