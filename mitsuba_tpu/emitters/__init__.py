@@ -4,6 +4,7 @@ from mitsuba_tpu.emitters.table import (
     sample_direct,
     pdf_direct_area,
     eval_emitter_hit,
+    eval_and_pdf_environment,
     eval_environment,
     pdf_environment,
     AREA,
@@ -19,6 +20,7 @@ from mitsuba_tpu.emitters.table import (
 __all__ = [
     "EmitterTable", "EmitterBuilder", "sample_direct", "pdf_direct_area",
     "eval_emitter_hit", "eval_environment", "pdf_environment",
+    "eval_and_pdf_environment",
     "AREA", "POINT", "SPOT", "DIRECTIONAL", "COLLIMATED", "CONSTANT",
     "ENVMAP", "SKY",
 ]

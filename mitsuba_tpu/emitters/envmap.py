@@ -115,10 +115,16 @@ def env_eval(image, d, to_env=None, scale=1.0):
     return c * scale
 
 
-def env_sample(prob, alias, pdf_img, u2, from_env=None):
+def env_sample(prob, alias, pdf_img, u2, from_env=None, image=None):
     """Sample directions ∝ luminance·sinθ via the flat alias table:
     O(1) per lane — two gathers and a compare. Returns (d_world,
-    pdf_sa)."""
+    pdf_sa) or, when `image` is given, (d_world, pdf_sa, radiance).
+
+    The sampled direction is the TEXEL CENTER, where the bilinear
+    env_eval degenerates to the texel value (fx = fy = 0) — so the NEE
+    radiance is ONE flat (H*W, 3) row-gather at the already-computed
+    texel index, bit-identical to env_eval(image, d) but without its 4
+    corner gathers and the dir→uv trig roundtrip."""
     h, w = pdf_img.shape
     hw = h * w
     x = jnp.clip(u2[..., 0], 0.0, 1.0 - 1e-7) * hw
@@ -133,7 +139,52 @@ def env_sample(prob, alias, pdf_img, u2, from_env=None):
     if from_env is not None:
         from mitsuba_tpu.core import transform as tf
         d = tf.apply_vector(from_env, d)
+    if image is not None:
+        val = image.reshape(hw, -1)[idx]
+        return d, pdf, val
     return d, pdf
+
+
+def env_eval_pdf(image, pdf_img, d, to_env=None):
+    """Fused bilinear radiance + nearest-texel sampling pdf for world
+    directions d — one dir→uv trig roundtrip and one shared index
+    computation instead of env_eval + env_pdf's two (the escape block
+    evaluates both for every lane every bounce). Bit-identical to
+    (env_eval(image, d, to_env), env_pdf(pdf_img, d, to_env))."""
+    if to_env is not None:
+        from mitsuba_tpu.core import transform as tf
+        d = tf.apply_vector(to_env, d)
+    uv = latlong_dir_to_uv(d)
+    h, w = image.shape[0], image.shape[1]
+    flat = image.reshape(h * w, -1)
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xi0 = jnp.mod(x0.astype(jnp.int32), w)
+    xi1 = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    yi1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    c = (
+        flat[yi0 * w + xi0] * (1 - fx) * (1 - fy)
+        + flat[yi0 * w + xi1] * fx * (1 - fy)
+        + flat[yi1 * w + xi0] * (1 - fx) * fy
+        + flat[yi1 * w + xi1] * fx * fy
+    )
+    hp, wp = pdf_img.shape
+    if (hp, wp) == (h, w):
+        # same resolution: nearest texel indices derive from the already
+        # computed uv without a second trig pass
+        colp = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        rowp = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        pdf = pdf_img.reshape(-1)[rowp * w + colp]
+    else:
+        colp = jnp.clip((uv[..., 0] * wp).astype(jnp.int32), 0, wp - 1)
+        rowp = jnp.clip((uv[..., 1] * hp).astype(jnp.int32), 0, hp - 1)
+        pdf = pdf_img.reshape(-1)[rowp * wp + colp]
+    return c, pdf
 
 
 def env_pdf(pdf_img, d, to_env=None):

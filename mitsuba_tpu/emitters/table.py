@@ -440,14 +440,16 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
         out_value = jnp.where(mask[:, None], em.radiance[eid], out_value)
         out_pdf = jnp.where(mask, pmf * m.INV_FOURPI, out_pdf)
     if (ENVMAP in kinds) or (SKY in kinds):
-        from mitsuba_tpu.emitters.envmap import env_eval, env_sample
+        from mitsuba_tpu.emitters.envmap import env_sample
 
         mask = sel_other & ((kind == ENVMAP) | (kind == SKY))
-        d, pdf_dir = env_sample(
+        # radiance comes straight from the sampled texel (one flat
+        # gather): the sampled direction is the texel center, where the
+        # bilinear env_eval reduces exactly to the texel value
+        d, pdf_dir, val = env_sample(
             em.env_prob, em.env_alias, em.env_pdf_img, u_pos,
-            from_env=em.env_to_world,
+            from_env=em.env_to_world, image=em.env_image,
         )
-        val = env_eval(em.env_image, d, to_env=em.env_to_env)
         out_d = jnp.where(mask[:, None], d, out_d)
         out_dist = jnp.where(mask, 1e7, out_dist)
         out_value = jnp.where(mask[:, None], val, out_value)
@@ -526,6 +528,27 @@ def eval_environment(em: EmitterTable, d_world):
 
         return env_eval(em.env_image, d_world, to_env=em.env_to_env)
     return jnp.broadcast_to(em.radiance[em.env_id], d_world.shape[:-1] + (3,))
+
+
+def eval_and_pdf_environment(em: EmitterTable, d_world):
+    """Fused eval_environment + pdf_environment — one dir→uv trig pass
+    and shared index math (the path integrator's escape block needs
+    both for every lane every bounce). Bit-identical results."""
+    if em.env_id < 0:
+        return (jnp.zeros(d_world.shape[:-1] + (3,)),
+                jnp.zeros(d_world.shape[:-1]))
+    rec_ids = em.rec_emitter[em.n_tri_records:]
+    mask = rec_ids == em.env_id
+    pmf_env = jnp.sum(jnp.where(mask, em.rec_pmf[em.n_tri_records:], 0.0))
+    if em.env_kind in (ENVMAP, SKY):
+        from mitsuba_tpu.emitters.envmap import env_eval_pdf
+
+        val, pdf = env_eval_pdf(em.env_image, em.env_pdf_img, d_world,
+                                to_env=em.env_to_env)
+        return val, pmf_env * pdf
+    val = jnp.broadcast_to(em.radiance[em.env_id],
+                           d_world.shape[:-1] + (3,))
+    return val, jnp.full(d_world.shape[:-1], pmf_env * m.INV_FOURPI)
 
 
 def pdf_environment(em: EmitterTable, d_world):

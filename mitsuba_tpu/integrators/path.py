@@ -31,6 +31,7 @@ from mitsuba_tpu.bsdfs import bsdf_eval, bsdf_pdf, bsdf_sample
 from mitsuba_tpu.core import math as m
 from mitsuba_tpu.core.types import replace
 from mitsuba_tpu.emitters import (
+    eval_and_pdf_environment,
     eval_emitter_hit,
     eval_environment,
     pdf_direct_area,
@@ -489,8 +490,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
 
         # --- escaped rays: background luminaire with MIS ----------------
         esc = active & ~its.valid
-        env = eval_environment(scene.emitters, ray.d)
-        env_pdf = pdf_environment(scene.emitters, ray.d)
+        env, env_pdf = eval_and_pdf_environment(scene.emitters, ray.d)
         w_env = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, env_pdf))
         L = L + em_w * jnp.where(esc[:, None],
                                  throughput * env * w_env[:, None], 0.0)

@@ -56,8 +56,10 @@ CAPS_COHERENT = (128, 16, 32, 96)
 CAPS_DIFFUSE = (256, 160, 384, 512)
 # second-tier caps for rows that overflow CAPS_DIFFUSE (re-run on the
 # compacted overflow rows only — see render/intersect.py _retier);
-# ~4x item capacity, sized so p99.9+ of bounce rows fit
-CAPS_XL = (256, 256, 1024, 2048)
+# ~2x item capacity (round-4 trim from 4x: the XL query's build cost is
+# linear in these and the 4x tier cost ~150 ms/1M on top of a 259 ms
+# main query, exp_r4_body; rows past 2x go to the stream fallback)
+CAPS_XL = (256, 240, 768, 1024)
 
 
 def auto_caps(n_k8: int):
@@ -77,7 +79,8 @@ def auto_caps(n_k8: int):
     e0 = 128 if n_k8 // 64 <= 128 else 256
     dif = (e0, e1, e2, e3)
     coh = (128, min(e1, 16), min(e2, 32), min(e3, 96))
-    xl = (e0, min(256, e1 * 2), min(1024, e2 * 4), min(2048, e3 * 4))
+    xl = (e0, min(240, ((e1 * 3 // 2) + 15) // 16 * 16),
+          min(768, e2 * 2), min(1024, e3 * 2))
     return dif, coh, xl
 
 

@@ -1003,11 +1003,13 @@ def _retier_on() -> bool:
 
 
 def _retier_capacity(n):
-    """XL-tier row budget: 1/8 of the wavefront's rows (overflow runs a
-    few % in practice); rows beyond it stay flagged for the complete
-    stream fallback."""
+    """XL-tier row budget: 1/16 of the wavefront's rows (measured
+    overflow runs ~4 % of rows on config-3 bounce wavefronts, round-4
+    exp_r4_body — the previous 1/8 budget doubled the XL re-run's
+    compacted width for headroom that was never used); rows beyond it
+    stay flagged for the complete stream fallback."""
     R = -(-n // LANE_ROW)
-    return max(8, R // 8)
+    return max(8, R // 16)
 
 
 def _retier_closest(geom: GeometryTables, ray: Ray, t, u, v, prim, valid,
