@@ -429,6 +429,65 @@ def build_exact_items(rays, ex, caps, use_kernel=True, interpret=False):
     return ids, blk_tn, overflow
 
 
+def build_exact_l1(rays, ex, caps, use_kernel=True, interpret=False):
+    """v6 build: the S0-S2 prefix of build_exact_items only. Returns
+    (l1_ids (R,E2) i32 front-to-back [0 at dead slots], l1_keys (R,E2)
+    f32 entry keys [_BIG at dead slots], overflow (R,) bool). The K8
+    level (S3 refine + the 3072-wide sort, the largest single build
+    stage) moves INTO the item kernel: clusters of an L1 are consecutive
+    in ex["tri"], so the kernel prefetches one contiguous (8,8,128) L1
+    mega-block per listed L1 and culls its 8 K8 children in-kernel from
+    the resident ct0 table — the same exact union the S3 refine
+    computes, for free on the VPU."""
+    E0, E1, E2, _E3 = caps
+    R = rays.shape[0]
+    c2 = ex["b2_lo"].shape[0]
+    ct2 = ex.get("ct2")
+    if use_kernel and ct2 is not None and ct2.shape[0] * 8 <= E0:
+        p2 = ct2.shape[0]
+        pids = jnp.broadcast_to(
+            jnp.arange(p2, dtype=jnp.int32)[None], (R, p2))
+        live_p2 = jnp.full((R,), -(-c2 // 8), jnp.int32)
+        child = jnp.arange(p2 * 8, dtype=jnp.int32)
+        keep_a = jnp.broadcast_to((child < c2)[None], (R, p2 * 8))
+        key1 = _child_refine(rays, pids, live_p2, ct2, keep_a, interpret)
+        ids0 = jnp.broadcast_to(child[None], (R, p2 * 8))
+        n0 = jnp.zeros((R,), jnp.int32)
+    else:
+        ids0f, tns0f = build_sc_lists(rays, ex["b2_lo"], ex["b2_hi"])
+        n0 = jnp.sum(tns0f[:, 0, :] < _BIG, -1)
+        ids0 = ids0f[:, 0, :E0]
+        keep0 = tns0f[:, 0, :E0] < _BIG
+        live0 = jnp.minimum(n0, E0).astype(jnp.int32)
+        if use_kernel:
+            key1 = _refine_keys_pallas(rays, ids0, keep0, live0,
+                                       ex["b2_lo"], ex["b2_hi"],
+                                       interpret)
+        else:
+            key1 = _exact_refine(rays, ids0, keep0, ex["b2_lo"],
+                                 ex["b2_hi"])
+    key1s, ids1 = jax.lax.sort_key_val(key1, ids0)
+    n1 = jnp.sum(key1 < _BIG, -1)
+    ids1 = ids1[:, :E1]
+    keep1 = key1s[:, :E1] < _BIG
+    live1p = jnp.minimum(n1, E1).astype(jnp.int32)
+    ids64 = (ids1[:, :, None] * 8
+             + jnp.arange(8, dtype=jnp.int32)[None, None]).reshape(R, -1)
+    keep64 = jnp.repeat(keep1, 8, axis=1)
+    if use_kernel:
+        key2 = _child_refine(rays, ids1, live1p, ex["ct1"], keep64,
+                             interpret)
+    else:
+        key2 = _exact_refine(rays, ids64, keep64, ex["b1_lo"],
+                             ex["b1_hi"])
+    key2s, ids2 = jax.lax.sort_key_val(key2, ids64)
+    n2 = jnp.sum(key2 < _BIG, -1)
+    l1_ids = jnp.where(key2s[:, :E2] < _BIG, ids2[:, :E2], 0)
+    l1_keys = key2s[:, :E2]
+    overflow = (n0 > E0) | (n1 > E1) | (n2 > E2)
+    return l1_ids, l1_keys, overflow
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
@@ -601,6 +660,165 @@ def _call_items(ex_tri, rays, ids, blk_tn, any_hit: bool,
     return out
 
 
+BL = 8                  # L1 mega-blocks per v6 grid step
+
+
+def _make_l1_kernel(any_hit: bool):
+    """v6 item kernel: one grid step covers BL L1 blocks. Per L1:
+    ordered skip on its (XLA-sorted) entry key, in-kernel slab cull of
+    its 8 K8 children from the resident ct0 table, MT only clusters at
+    least one lane's slab interval admits — the exact per-lane union the
+    S3 refine used to compute in XLA (plus its 3072-wide sort)."""
+    def kernel(ids_pf, key_pf, rays_ref, ct0_ref, *rest):
+        tri_refs = rest[:BL]
+        out_ref = rest[BL]
+        r = pl.program_id(0)
+        b = pl.program_id(1)
+        rays = rays_ref[0]
+        mnb = rays[6:7, :]
+        maxt = rays[7:8, :]
+        o = (rays[0:1, :], rays[1:2, :], rays[2:3, :])
+        d = (rays[3:4, :], rays[4:5, :], rays[5:6, :])
+        inv = [jnp.where(jnp.abs(dj) > 1e-12, 1.0 / dj, _BIG)
+               for dj in d]
+
+        @pl.when(b == 0)
+        def _():
+            if any_hit:
+                out_ref[0, 0:1, :] = jnp.zeros((1, LANES), jnp.float32)
+                out_ref[0, 1:2, :] = maxt
+                out_ref[0, 2:8, :] = jnp.zeros((6, LANES), jnp.float32)
+            else:
+                out_ref[0, 0:1, :] = maxt
+                out_ref[0, 1:3, :] = jnp.zeros((2, LANES), jnp.float32)
+                out_ref[0, 3:4, :] = jax.lax.bitcast_convert_type(
+                    jnp.full((1, LANES), -1, jnp.int32), jnp.float32)
+                out_ref[0, 4:8, :] = jnp.zeros((4, LANES), jnp.float32)
+
+        for i in range(BL):
+            blk_t = key_pf[r, b * BL + i]
+            if any_hit:
+                bound = jnp.max(out_ref[0, 1:2, :])
+            else:
+                bound = jnp.max(out_ref[0, 0:1, :])
+
+            @pl.when(blk_t <= bound)
+            def _(i=i, blk_t=blk_t):
+                # K8 child slab cull from the resident table: sublane =
+                # child cluster, lanes 0:3 lo / 3:6 hi (as _child_refine)
+                blk = ct0_ref[ids_pf[r, b * BL + i]]
+                tn = jnp.broadcast_to(mnb, (8, LANES))
+                tf = jnp.broadcast_to(maxt, (8, LANES))
+                for j in range(3):
+                    lo = blk[:, j:j + 1]
+                    hi = blk[:, 3 + j:4 + j]
+                    t0 = (lo - o[j]) * inv[j]
+                    t1 = (hi - o[j]) * inv[j]
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                hit_child = (tn <= tf).astype(jnp.float32)
+                for c in range(8):
+                    any_c = jnp.max(hit_child[c:c + 1, :])
+
+                    @pl.when(any_c > 0.0)
+                    def _(i=i, c=c):
+                        tri = tri_refs[i][0, c]
+                        if any_hit:
+                            occ = out_ref[0, 0:1, :]
+                            t_run, _u, _v, _p = _mt_item(
+                                tri, rays, mnb,
+                                jnp.where(occ > 0, mnb, maxt))
+                            hit = jnp.max(
+                                (t_run < _BIG).astype(jnp.float32),
+                                axis=0, keepdims=True)
+                            occ_new = jnp.maximum(occ, hit)
+                            out_ref[0, 0:1, :] = occ_new
+                            out_ref[0, 1:2, :] = jnp.where(
+                                occ_new > 0.0, mnb - 1.0, maxt)
+                        else:
+                            tb = out_ref[0, 0:1, :]
+                            ub = out_ref[0, 1:2, :]
+                            vb = out_ref[0, 2:3, :]
+                            pb = jax.lax.bitcast_convert_type(
+                                out_ref[0, 3:4, :], jnp.int32)
+                            t_i, u_i, v_i, p_i = _mt_item(tri, rays,
+                                                          mnb, tb)
+                            tmin = jnp.min(t_i, axis=0, keepdims=True)
+                            improved = tmin < tb
+                            sub = jax.lax.broadcasted_iota(
+                                jnp.int32, (8, LANES), 0)
+                            win = t_i <= tmin
+                            ssel = jnp.min(jnp.where(win, sub, 8),
+                                           axis=0, keepdims=True)
+                            w2 = (win & (sub == ssel)).astype(
+                                jnp.float32)
+                            usel = jnp.sum(w2 * u_i, axis=0,
+                                           keepdims=True)
+                            vsel = jnp.sum(w2 * v_i, axis=0,
+                                           keepdims=True)
+                            psel = jnp.sum(
+                                w2 * jnp.broadcast_to(
+                                    p_i, (8, LANES)).astype(jnp.float32),
+                                axis=0, keepdims=True).astype(jnp.int32)
+                            out_ref[0, 0:1, :] = jnp.where(
+                                improved, tmin, tb)
+                            out_ref[0, 1:2, :] = jnp.where(
+                                improved, usel, ub)
+                            out_ref[0, 2:3, :] = jnp.where(
+                                improved, vsel, vb)
+                            out_ref[0, 3:4, :] = \
+                                jax.lax.bitcast_convert_type(
+                                    jnp.where(improved, psel, pb),
+                                    jnp.float32)
+    return kernel
+
+
+def _call_l1_items(ex_tri, ct0, rays, l1_ids, l1_keys, any_hit: bool,
+                   interpret: bool = False):
+    """v6 chunk: rays (Rc,8,128), l1_ids/l1_keys (Rc,E2)."""
+    Rc, E2 = l1_ids.shape
+    tri64 = ex_tri.reshape(-1, 8, 8, LANES)
+    tri_specs = [
+        pl.BlockSpec((1, 8, 8, LANES),
+                     (lambda i: lambda r, b, ids_pf, key_pf:
+                      (ids_pf[r, b * BL + i], 0, 0, 0))(i),
+                     memory_space=pltpu.VMEM)
+        for i in range(BL)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Rc, E2 // BL),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANES),
+                         lambda r, b, ids_pf, key_pf: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ct0.shape,
+                         lambda r, b, ids_pf, key_pf: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + tri_specs,
+        out_specs=pl.BlockSpec((1, 8, LANES),
+                               lambda r, b, ids_pf, key_pf: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _make_l1_kernel(any_hit),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rc, 8, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(l1_ids, l1_keys, rays, ct0, *([tri64] * BL))
+    return out
+
+
+def _v6_on() -> bool:
+    """v6 L1-granularity item kernel (K8 cull folded in-kernel) —
+    experimental, MTS_V6=1 enables."""
+    import os
+
+    return os.environ.get("MTS_V6", "0") == "1"
+
+
 # Rows per chunk: bounds both the SMEM prefetch arrays of one
 # pallas_call (ids (Rc,E3) i32 + blk_tn padded to (Rc,128) f32 must fit
 # 1 MB SMEM) and the HBM peak of the build's (Rc, E, 3, 128) slab
@@ -613,6 +831,12 @@ def _r_chunk(caps):
     blk keys) stays under the 1 MB scalar-memory budget at any caps."""
     e3 = caps[3]
     return max(32, min(R_CHUNK, (900 * 1024) // (e3 * 5)))
+
+
+def _r_chunk_v6(caps):
+    """v6 SMEM budget: l1 ids + l1 keys, both (Rc, E2)."""
+    e2 = caps[2]
+    return max(32, min(R_CHUNK, (900 * 1024) // (e2 * 8)))
 
 
 def _pad_rows(rays, n_rows, r_chunk=R_CHUNK):
@@ -628,7 +852,8 @@ def _pad_rows(rays, n_rows, r_chunk=R_CHUNK):
     return rays.reshape(nc, r_chunk, 8, LANES)
 
 
-def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret):
+def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret,
+                 v6=None):
     # maxt=inf breaks the closest kernel's accumulator: misses carry the
     # _BIG sentinel and `improved = tmin < t_best` accepts 3e38 < inf as
     # a hit (garbage prim, every lane "valid"). Round-3's config-3
@@ -636,11 +861,22 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret):
     # silently rendered wrong. Clamp below the sentinel; no scene
     # extends past 1e30.
     maxt = jnp.minimum(maxt, 1e30)
+    if v6 is None:
+        v6 = _v6_on()
+    v6 = v6 and not interpret and ex.get("ct0") is not None
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
-    chunks = _pad_rows(rays, n_rows, _r_chunk(caps))
+    r_chunk = (_r_chunk_v6(caps) if v6 else _r_chunk(caps))
+    chunks = _pad_rows(rays, n_rows, r_chunk)
 
     def chunk_fn(rays_c):
         def run(rays_c):
+            if v6:
+                l1_ids, l1_keys, ovf = build_exact_l1(
+                    rays_c, ex, caps, interpret=interpret)
+                out = _call_l1_items(ex["tri"], ex["ct0"], rays_c,
+                                     l1_ids, l1_keys, any_hit=any_hit,
+                                     interpret=interpret)
+                return out, ovf
             ids, blk_tn, ovf = build_exact_items(rays_c, ex, caps,
                                                  interpret=interpret)
             out = _call_items(ex["tri"], rays_c, ids, blk_tn,
@@ -675,15 +911,16 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret):
     return out, ovf, n
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("caps", "interpret", "v6"))
 def exact_closest(ex, o, d, mint, maxt, caps=CAPS_DIFFUSE,
-                  interpret: bool = False):
+                  interpret: bool = False, v6=None):
     """Closest hit. ex: dict from GeometryTables.ex_tables. Returns
     (t, u, v, prim, valid, lane_overflow); overflow lanes (rows whose
     candidate count exceeded a cap) hold a partial result and must be
     re-resolved by a complete backend."""
     out, ovf, n = _run_chunked(ex, o, d, mint, maxt, caps,
-                               any_hit=False, interpret=interpret)
+                               any_hit=False, interpret=interpret, v6=v6)
     t = out[:, 0, :].reshape(-1)[:n]
     u = out[:, 1, :].reshape(-1)[:n]
     v = out[:, 2, :].reshape(-1)[:n]
@@ -695,12 +932,13 @@ def exact_closest(ex, o, d, mint, maxt, caps=CAPS_DIFFUSE,
             jnp.where(valid, prim, 0), valid, lane_ovf)
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("caps", "interpret", "v6"))
 def exact_any(ex, o, d, mint, maxt, caps=CAPS_DIFFUSE,
-              interpret: bool = False):
+              interpret: bool = False, v6=None):
     """Any-hit/shadow query. Returns (occluded, lane_overflow)."""
     out, ovf, n = _run_chunked(ex, o, d, mint, maxt, caps,
-                               any_hit=True, interpret=interpret)
+                               any_hit=True, interpret=interpret, v6=v6)
     occ = out[:, 0, :].reshape(-1)[:n] > 0.5
     lane_ovf = jnp.repeat(ovf, LANES)[:n]
     return occ, lane_ovf
