@@ -121,10 +121,13 @@ def env_sample(prob, alias, pdf_img, u2, from_env=None, image=None):
     pdf_sa) or, when `image` is given, (d_world, pdf_sa, radiance).
 
     The sampled direction is the TEXEL CENTER, where the bilinear
-    env_eval degenerates to the texel value (fx = fy = 0) — so the NEE
-    radiance is ONE flat (H*W, 3) row-gather at the already-computed
-    texel index, bit-identical to env_eval(image, d) but without its 4
-    corner gathers and the dir→uv trig roundtrip."""
+    env_eval mathematically degenerates to the texel value (fx = fy = 0)
+    — so the NEE radiance is ONE flat (H*W, 3) row-gather at the
+    already-computed texel index, replacing env_eval(image, d)'s 4
+    corner gathers and its roundtrip-error-prone dir→uv trig pass
+    (whose fx, fy land at small nonzero epsilon, so the two paths can
+    differ in the last ulp; this single-gather value is the one
+    consistent with pdf_img[idx])."""
     h, w = pdf_img.shape
     hw = h * w
     x = jnp.clip(u2[..., 0], 0.0, 1.0 - 1e-7) * hw
@@ -173,17 +176,12 @@ def env_eval_pdf(image, pdf_img, d, to_env=None):
         + flat[yi1 * w + xi0] * (1 - fx) * fy
         + flat[yi1 * w + xi1] * fx * fy
     )
+    # nearest texel indices derive from the already computed uv without a
+    # second trig pass (covers the common same-resolution case too)
     hp, wp = pdf_img.shape
-    if (hp, wp) == (h, w):
-        # same resolution: nearest texel indices derive from the already
-        # computed uv without a second trig pass
-        colp = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-        rowp = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        pdf = pdf_img.reshape(-1)[rowp * w + colp]
-    else:
-        colp = jnp.clip((uv[..., 0] * wp).astype(jnp.int32), 0, wp - 1)
-        rowp = jnp.clip((uv[..., 1] * hp).astype(jnp.int32), 0, hp - 1)
-        pdf = pdf_img.reshape(-1)[rowp * wp + colp]
+    colp = jnp.clip((uv[..., 0] * wp).astype(jnp.int32), 0, wp - 1)
+    rowp = jnp.clip((uv[..., 1] * hp).astype(jnp.int32), 0, hp - 1)
+    pdf = pdf_img.reshape(-1)[rowp * wp + colp]
     return c, pdf
 
 

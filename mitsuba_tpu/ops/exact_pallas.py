@@ -861,9 +861,7 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret,
     # silently rendered wrong. Clamp below the sentinel; no scene
     # extends past 1e30.
     maxt = jnp.minimum(maxt, 1e30)
-    if v6 is None:
-        v6 = _v6_on()
-    v6 = v6 and not interpret and ex.get("ct0") is not None
+    v6 = bool(v6) and not interpret and ex.get("ct0") is not None
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
     r_chunk = (_r_chunk_v6(caps) if v6 else _r_chunk(caps))
     chunks = _pad_rows(rays, n_rows, r_chunk)
@@ -911,14 +909,26 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret,
     return out, ovf, n
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("caps", "interpret", "v6"))
 def exact_closest(ex, o, d, mint, maxt, caps=CAPS_DIFFUSE,
                   interpret: bool = False, v6=None):
     """Closest hit. ex: dict from GeometryTables.ex_tables. Returns
     (t, u, v, prim, valid, lane_overflow); overflow lanes (rows whose
     candidate count exceeded a cap) hold a partial result and must be
-    re-resolved by a complete backend."""
+    re-resolved by a complete backend.
+
+    v6=None resolves MTS_V6 here, OUTSIDE the jit, so toggling the env
+    var between calls takes effect (the resolved bool is the static jit
+    arg; reading it at trace time would freeze the first-seen value
+    into the compile cache)."""
+    if v6 is None:
+        v6 = _v6_on()
+    return _exact_closest_jit(ex, o, d, mint, maxt, caps=caps,
+                              interpret=interpret, v6=bool(v6))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("caps", "interpret", "v6"))
+def _exact_closest_jit(ex, o, d, mint, maxt, caps, interpret, v6):
     out, ovf, n = _run_chunked(ex, o, d, mint, maxt, caps,
                                any_hit=False, interpret=interpret, v6=v6)
     t = out[:, 0, :].reshape(-1)[:n]
@@ -932,11 +942,19 @@ def exact_closest(ex, o, d, mint, maxt, caps=CAPS_DIFFUSE,
             jnp.where(valid, prim, 0), valid, lane_ovf)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("caps", "interpret", "v6"))
 def exact_any(ex, o, d, mint, maxt, caps=CAPS_DIFFUSE,
               interpret: bool = False, v6=None):
-    """Any-hit/shadow query. Returns (occluded, lane_overflow)."""
+    """Any-hit/shadow query. Returns (occluded, lane_overflow).
+    v6=None resolves MTS_V6 outside the jit (see exact_closest)."""
+    if v6 is None:
+        v6 = _v6_on()
+    return _exact_any_jit(ex, o, d, mint, maxt, caps=caps,
+                          interpret=interpret, v6=bool(v6))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("caps", "interpret", "v6"))
+def _exact_any_jit(ex, o, d, mint, maxt, caps, interpret, v6):
     out, ovf, n = _run_chunked(ex, o, d, mint, maxt, caps,
                                any_hit=True, interpret=interpret, v6=v6)
     occ = out[:, 0, :].reshape(-1)[:n] > 0.5

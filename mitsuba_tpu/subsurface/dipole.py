@@ -418,9 +418,9 @@ def build_scene_subsurface(entries, n_materials: int,
 
 
 def prepare_scene_irradiance(scene, n_samples: int = 8, seed: int = 7):
-    """Fill SceneSubsurface.irradiance via the vectorized NEE estimator
-    (direct-light irradiance, the reference irrproc.cpp analog; indirect
-    irradiance is a documented approximation gap)."""
+    """Fill SceneSubsurface.irradiance via the vectorized estimator
+    (the reference irrproc.cpp analog; direct NEE plus the default-on
+    indirect bounce estimate, see compute_irradiance(indirect_depth=3))."""
     ss = scene.subsurface
     S, K, _ = ss.points.shape
     pts = ss.points.reshape(S * K, 3)

@@ -6,7 +6,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("MTS_V6", "0")  # toggled per-call below via reload
+# v6 is passed explicitly via the v6= kwarg below; MTS_V6 is untouched
 
 import jax
 import jax.numpy as jnp
