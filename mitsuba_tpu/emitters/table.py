@@ -42,10 +42,17 @@ class EmitterTable:
     falloff_cos: jnp.ndarray # (E,) spot cos(falloff start)
     # per-triangle area-emitter tables (T rows, aligned with GeometryTables)
     tri_pdf_area: jnp.ndarray  # (T,) selection-prob × (1/area) for NEE; 0 if not emissive
-    # sampling records: R = T + E_other
+    # sampling records: R = T_emissive + E_other. The triangle range is
+    # COMPACTED to emissive triangles only — the reference's scene-level
+    # CDF also spans only luminaires (scene.cpp:319-330); a record per
+    # scene triangle forced every NEE sample through a log2(n_tris)
+    # searchsorted gather chain (~170 ms/1M lanes on a 69k-tri scene)
+    # when n_rec > 128, for rows that could never be sampled
     rec_cdf: jnp.ndarray       # (R,) CDF over records
     rec_pmf: jnp.ndarray       # (R,)
     rec_emitter: jnp.ndarray   # (R,) emitter id per record
+    rec_prim: jnp.ndarray = None  # (R,) triangle id of each tri record
+                                  # (records >= n_tri_records carry 0)
     radius: jnp.ndarray = None  # (E,) analytic sphere emitter radius
     # environment map tables (lat-long; sky is baked to the same form)
     env_image: jnp.ndarray = None      # (He, We, 3)
@@ -191,19 +198,36 @@ class EmitterBuilder:
         other_w = [lum[i] * (4.0 * np.pi * radius_arr[i] ** 2
                              if kind[i] == SPHERE else 4.0 * np.pi)
                    for i in other_ids]
-        rec_w = np.concatenate([tri_w, np.asarray(other_w, np.float64)]) if other_ids \
-            else tri_w
+        # compact the triangle range to emissive triangles (see the
+        # EmitterTable field comment): selection is unchanged — zero-
+        # weight records never altered the CDF mapping — but n_rec drops
+        # from n_tris+E to n_emissive_tris+E, keeping sample_direct on
+        # the linear compare-sum path for typical scenes
+        emissive = np.nonzero((tri_w > 0) & (tri_areas > 0))[0]
+        t_rec = int(emissive.shape[0])
+        rec_w = np.concatenate([tri_w[emissive],
+                                np.asarray(other_w, np.float64)])
         total = rec_w.sum()
         pmf = rec_w / total if total > 0 else np.zeros_like(rec_w)
+        if pmf.size == 0:       # no emitters at all: one dead record
+            pmf = np.zeros(1)
+            rec_w = np.zeros(1)
         cdf = np.cumsum(pmf)
         rec_emitter = np.concatenate(
-            [np.clip(tri_emitter_id, 0, e - 1), np.asarray(other_ids, np.int64)]
-        ).astype(np.int32) if other_ids else np.clip(tri_emitter_id, 0, e - 1).astype(np.int32)
+            [np.clip(tri_emitter_id, 0, e - 1)[emissive],
+             np.asarray(other_ids, np.int64)]).astype(np.int32)
+        if rec_emitter.size == 0:
+            rec_emitter = np.zeros(1, np.int32)
+        rec_prim = np.zeros(rec_emitter.size, np.int32)
+        rec_prim[:t_rec] = emissive
 
-        # per-triangle NEE area pdf: P(pick tri) / area  (0 for non-emissive)
-        tri_pdf_area = np.where(
-            (tri_w > 0) & (tri_areas > 0), pmf[:t] / np.maximum(tri_areas, 1e-20), 0.0
-        )
+        # per-triangle NEE area pdf: P(pick tri) / area  (0 for
+        # non-emissive) — stays full (T,) width, indexed by prim id in
+        # pdf_direct_area (the MIS counterweight for BSDF rays)
+        tri_pdf_area = np.zeros(t)
+        if t_rec:
+            tri_pdf_area[emissive] = pmf[:t_rec] / np.maximum(
+                tri_areas[emissive], 1e-20)
 
         env_id = -1
         env_kind = -1
@@ -256,7 +280,8 @@ class EmitterBuilder:
             rec_cdf=jnp.asarray(cdf, jnp.float32),
             rec_pmf=jnp.asarray(pmf, jnp.float32),
             rec_emitter=jnp.asarray(rec_emitter),
-            n_tri_records=t,
+            rec_prim=jnp.asarray(rec_prim),
+            n_tri_records=t_rec,
             kinds_present=tuple(sorted(set(int(k) for k in kind))),
             env_id=env_id,
         )
@@ -306,13 +331,14 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
     kinds = em.kinds_present
     if AREA in kinds:
         t_rec = em.n_tri_records
+        pr = em.rec_prim[:t_rec]        # record -> triangle id (compacted)
         if small and t_rec > 0:
             # gather triangle rows with one one-hot matmul (MXU-friendly):
             # columns [v0|e1|e2|pdf_area]
             tri_pack = jnp.concatenate(
                 [
-                    geom.v0[:t_rec], geom.e1[:t_rec], geom.e2[:t_rec],
-                    em.tri_pdf_area[:t_rec, None],
+                    geom.v0[pr], geom.e1[pr], geom.e2[pr],
+                    em.tri_pdf_area[pr][:, None],
                 ],
                 axis=1,
             )
@@ -320,7 +346,7 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
             v0_s, e1_s, e2_s = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
             pdf_area = rows[:, 9]
         else:
-            ti = jnp.clip(rec, 0, geom.v0.shape[0] - 1)
+            ti = em.rec_prim[jnp.clip(rec, 0, em.rec_prim.shape[0] - 1)]
             v0_s, e1_s, e2_s = geom.v0[ti], geom.e1[ti], geom.e2[ti]
             pdf_area = em.tri_pdf_area[ti]
         bary = warp.square_to_uniform_triangle(u_pos)

@@ -52,7 +52,8 @@ def _sample_emission(scene, u_sel, u_pos, u_dir):
 
     # --- surface emitters (triangle | analytic sphere): uniform-area
     # position + cosine hemisphere direction about the surface normal
-    ti = jnp.clip(rec, 0, geom.v0.shape[0] - 1)
+    # (rec_prim: tri records are compacted to emissive triangles)
+    ti = em.rec_prim[jnp.clip(rec, 0, em.rec_prim.shape[0] - 1)]
     bary = warp.square_to_uniform_triangle(u_pos)
     p_tri = geom.v0[ti] + geom.e1[ti] * bary[:, :1] + geom.e2[ti] * bary[:, 1:2]
     n_tri = m.normalize(jnp.cross(geom.e1[ti], geom.e2[ti]))
@@ -219,7 +220,7 @@ def ptracer_render(scene, cfg: PathConfig, n_particles: int, seed: int = 0):
         jnp.searchsorted(em.rec_cdf, _detach(u_sel), side="right"),
         0, em.rec_pmf.shape[0] - 1,
     ).astype(jnp.int32)
-    ti = jnp.clip(rec, 0, scene.geom.v0.shape[0] - 1)
+    ti = em.rec_prim[jnp.clip(rec, 0, em.rec_prim.shape[0] - 1)]
     area = 0.5 * m.length(jnp.cross(scene.geom.e1[ti], scene.geom.e2[ti]))
     pmf = em.rec_pmf[rec]
     le = em.radiance[em.rec_emitter[rec]]
