@@ -32,6 +32,43 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/mts_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def validate_golden(scene_small, golden_name: str, depth: int = 5,
+                    spp: int = 16, seed: int = 0,
+                    rel_rmse_max: float = 0.10) -> bool:
+    """Render `scene_small` (same res/spp/seed as the committed CPU
+    golden, scripts/gen_bench_goldens.py) on the bench device and gate on
+    per-pixel RMSE. Replaces the round-4 mean-band check as the primary
+    validity gate: a (lo, hi) mean band passes many WRONG renders (a
+    sign-flipped or half-black image can sit inside it); per-pixel RMSE
+    against a committed reference cannot. The counter-based sampler makes
+    CPU and TPU renders sample-identical, so the residual is fp/kernel-
+    order wobble (<1%) vs ~50-100% for a broken render."""
+    import os
+
+    import numpy as np
+
+    from mitsuba_tpu.integrators.path import PathConfig, render
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "goldens", golden_name + ".npz")
+    if not os.path.exists(path):
+        print(f"BENCH WARNING: golden {golden_name} missing; RMSE gate "
+              f"skipped", file=sys.stderr)
+        return True
+    ref = np.load(path)["mean"]
+    cfg = PathConfig(max_depth=depth, spp=spp)
+    img, _ = render(scene_small, cfg, seed=seed)
+    img = np.asarray(img)
+    rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+    rel = rmse / max(float(np.mean(ref)), 1e-9)
+    ok = rel <= rel_rmse_max
+    if not ok:
+        print(f"BENCH INVALID: {golden_name} rel RMSE {rel:.4f} > "
+              f"{rel_rmse_max} vs committed CPU golden — refusing to "
+              f"report a throughput for a wrong render", file=sys.stderr)
+    return ok
+
+
 def bench_scene(scene, spp: int, depth: int, rounds: int = 2,
                 morton: bool = False, expect_mean=None):
     """Dependency-chained wavefront path-trace benchmark on `scene`.
@@ -158,24 +195,34 @@ def main():
 
     suite = []
 
-    # expect_mean bands: CPU-reference means (0.147 / 0.146 / 0.287 at
-    # 128px) with a generous +-40% MC/resolution margin
+    # validity gates: per-pixel RMSE vs committed 64px CPU goldens
+    # (validate_golden — primary), plus the round-4 mean bands on the
+    # actual bench renders as a cheap secondary check
+    ok1 = validate_golden(cornell_box(64, 64, backend="brute"),
+                          "bench_cfg1")
     s1 = cornell_box(256, 256, backend="brute")
     m1 = bench_scene(s1, spp=16, depth=5, expect_mean=(0.09, 0.21))
+    m1 = m1 if ok1 else 0.0
     suite.append({"config": "1_cornell_brute_256", "value": round(m1, 3),
                   "unit": "Mrays/s", "vs_baseline": round(m1 / 50.0, 4)})
 
     # specular box: analytic glass sphere + 32 wall/block tris -> brute
     # kernel + XLA-merged analytic primitives (auto picks brute)
+    ok2 = validate_golden(cornell_box_specular(64, 64, backend="auto"),
+                          "bench_cfg2")
     s2 = cornell_box_specular(512, 512, backend="auto")
     m2 = bench_scene(s2, spp=4, depth=5, morton=True,
                      expect_mean=(0.09, 0.21))
+    m2 = m2 if ok2 else 0.0
     suite.append({"config": "2_specular_cornell_512", "value": round(m2, 3),
                   "unit": "Mrays/s", "vs_baseline": round(m2 / 50.0, 4)})
 
+    ok3 = validate_golden(textured_mesh_scene(64, 64, backend="cluster"),
+                          "bench_cfg3")
     s3 = textured_mesh_scene(512, 512, backend="cluster")
     m3 = bench_scene(s3, spp=4, depth=5, morton=True,
                      expect_mean=(0.17, 0.41))
+    m3 = m3 if ok3 else 0.0
     suite.append({"config": "3_textured_mesh_cluster", "value": round(m3, 3),
                   "unit": "Mrays/s", "vs_baseline": round(m3 / 50.0, 4)})
 

@@ -811,12 +811,147 @@ def _call_l1_items(ex_tri, ct0, rays, l1_ids, l1_keys, any_hit: bool,
     return out
 
 
-def _v6_on() -> bool:
-    """v6 L1-granularity item kernel (K8 cull folded in-kernel) —
-    experimental, MTS_V6=1 enables."""
+def _make_l1_masked_kernel(blm: int, any_hit: bool):
+    """v6b item kernel — the BRANCHLESS masked L1-fold. One grid step
+    covers `blm` L1 mega-blocks with ONE ordered-skip cond on the step's
+    first entry key (keys are sorted ascending, so the first is the
+    minimum); inside, ALL blm*8 K8 clusters are Moeller-Trumbore-tested
+    unconditionally. v6 paid 72 scalar conds per step (per-L1 skip +
+    per-cluster pl.when) and Mosaic serialized on every vector->scalar
+    reduction they need (law 6, docs/PERF_NOTES.md); v6b trades ~3x the
+    MT pair tests (L1 granularity instead of K8) for zero per-decision
+    control flow — the S3 child-refine AND the 3072-wide sort (the
+    largest single build stage) still fold away as in v6."""
+    def kernel(ids_pf, key_pf, rays_ref, *rest):
+        tri_refs = rest[:blm]
+        out_ref = rest[blm]
+        r = pl.program_id(0)
+        b = pl.program_id(1)
+        rays = rays_ref[0]
+        mnb = rays[6:7, :]
+        maxt = rays[7:8, :]
+
+        @pl.when(b == 0)
+        def _():
+            if any_hit:
+                out_ref[0, 0:1, :] = jnp.zeros((1, LANES), jnp.float32)
+                out_ref[0, 1:2, :] = maxt
+                out_ref[0, 2:8, :] = jnp.zeros((6, LANES), jnp.float32)
+            else:
+                out_ref[0, 0:1, :] = maxt
+                out_ref[0, 1:3, :] = jnp.zeros((2, LANES), jnp.float32)
+                out_ref[0, 3:4, :] = jax.lax.bitcast_convert_type(
+                    jnp.full((1, LANES), -1, jnp.int32), jnp.float32)
+                out_ref[0, 4:8, :] = jnp.zeros((4, LANES), jnp.float32)
+
+        blk_t = key_pf[r, b * blm]
+        if any_hit:
+            do = blk_t <= jnp.max(out_ref[0, 1:2, :])
+        else:
+            do = blk_t <= jnp.max(out_ref[0, 0:1, :])
+
+        @pl.when(do)
+        def _():
+            if any_hit:
+                occ = out_ref[0, 0:1, :]
+                cap = jnp.where(occ > 0, mnb, maxt)
+                hit_any = jnp.zeros((1, LANES), jnp.float32)
+                for i in range(blm):
+                    for c in range(8):
+                        t_run, _u, _v, _p = _mt_item(
+                            tri_refs[i][0, c], rays, mnb, cap)
+                        hit_any = jnp.maximum(
+                            hit_any,
+                            jnp.max((t_run < _BIG).astype(jnp.float32),
+                                    axis=0, keepdims=True))
+                occ_new = jnp.maximum(occ, hit_any)
+                out_ref[0, 0:1, :] = occ_new
+                out_ref[0, 1:2, :] = jnp.where(occ_new > 0.0,
+                                               mnb - 1.0, maxt)
+            else:
+                tb = out_ref[0, 0:1, :]
+                ub = out_ref[0, 1:2, :]
+                vb = out_ref[0, 2:3, :]
+                pb = jax.lax.bitcast_convert_type(out_ref[0, 3:4, :],
+                                                  jnp.int32)
+                t_run = jnp.full((8, LANES), _BIG, jnp.float32)
+                u_run = jnp.zeros((8, LANES), jnp.float32)
+                v_run = jnp.zeros((8, LANES), jnp.float32)
+                p_run = jnp.zeros((8, LANES), jnp.int32)
+                for i in range(blm):
+                    for c in range(8):
+                        t_i, u_i, v_i, p_i = _mt_item(
+                            tri_refs[i][0, c], rays, mnb, tb)
+                        ok = t_i < t_run
+                        t_run = jnp.where(ok, t_i, t_run)
+                        u_run = jnp.where(ok, u_i, u_run)
+                        v_run = jnp.where(ok, v_i, v_run)
+                        p_run = jnp.where(ok, jnp.broadcast_to(
+                            p_i, (8, LANES)), p_run)
+                tmin = jnp.min(t_run, axis=0, keepdims=True)
+                improved = tmin < tb
+                sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+                win = t_run <= tmin
+                ssel = jnp.min(jnp.where(win, sub, 8), axis=0,
+                               keepdims=True)
+                w2 = (win & (sub == ssel)).astype(jnp.float32)
+                usel = jnp.sum(w2 * u_run, axis=0, keepdims=True)
+                vsel = jnp.sum(w2 * v_run, axis=0, keepdims=True)
+                psel = jnp.sum(w2 * p_run.astype(jnp.float32), axis=0,
+                               keepdims=True).astype(jnp.int32)
+                out_ref[0, 0:1, :] = jnp.where(improved, tmin, tb)
+                out_ref[0, 1:2, :] = jnp.where(improved, usel, ub)
+                out_ref[0, 2:3, :] = jnp.where(improved, vsel, vb)
+                out_ref[0, 3:4, :] = jax.lax.bitcast_convert_type(
+                    jnp.where(improved, psel, pb), jnp.float32)
+    return kernel
+
+
+def _call_l1_masked(ex_tri, rays, l1_ids, l1_keys, any_hit: bool,
+                    blm: int = 4, interpret: bool = False):
+    """v6b chunk: rays (Rc,8,128), l1_ids/l1_keys (Rc,E2)."""
+    Rc, E2 = l1_ids.shape
+    tri64 = ex_tri.reshape(-1, 8, 8, LANES)
+    tri_specs = [
+        pl.BlockSpec((1, 8, 8, LANES),
+                     (lambda i: lambda r, b, ids_pf, key_pf:
+                      (ids_pf[r, b * blm + i], 0, 0, 0))(i),
+                     memory_space=pltpu.VMEM)
+        for i in range(blm)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Rc, E2 // blm),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANES),
+                         lambda r, b, ids_pf, key_pf: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + tri_specs,
+        out_specs=pl.BlockSpec((1, 8, LANES),
+                               lambda r, b, ids_pf, key_pf: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _make_l1_masked_kernel(blm, any_hit),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rc, 8, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(l1_ids, l1_keys, rays, *([tri64] * blm))
+    return out
+
+
+def _v6_on() -> int:
+    """v6-family L1-granularity item kernels (K8 cull folded in-kernel):
+    MTS_V6=0 off (default), 1 = branched fold (round-4 negative result,
+    docs/PERF_NOTES.md law 6), 2 = branchless masked fold (v6b)."""
     import os
 
-    return os.environ.get("MTS_V6", "0") == "1"
+    try:
+        return int(os.environ.get("MTS_V6", "0"))
+    except ValueError:
+        return 0
 
 
 # Rows per chunk: bounds both the SMEM prefetch arrays of one
@@ -852,8 +987,20 @@ def _pad_rows(rays, n_rows, r_chunk=R_CHUNK):
     return rays.reshape(nc, r_chunk, 8, LANES)
 
 
+def _v6_blm() -> int:
+    """v6b L1 mega-blocks per grid step (MTS_V6BLM, default 4).
+    Resolved OUTSIDE the jit by the public wrappers (same trap as
+    MTS_V6: a trace-time read would freeze into the compile cache)."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("MTS_V6BLM", "4")))
+    except ValueError:
+        return 4
+
+
 def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret,
-                 v6=None):
+                 v6=None, blm=4):
     # maxt=inf breaks the closest kernel's accumulator: misses carry the
     # _BIG sentinel and `improved = tmin < t_best` accepts 3e38 < inf as
     # a hit (garbage prim, every lane "valid"). Round-3's config-3
@@ -861,7 +1008,9 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret,
     # silently rendered wrong. Clamp below the sentinel; no scene
     # extends past 1e30.
     maxt = jnp.minimum(maxt, 1e30)
-    v6 = bool(v6) and not interpret and ex.get("ct0") is not None
+    v6 = int(v6 or 0)
+    if ex.get("ct0") is None:
+        v6 = 0
     rays, n, n_rows = _pack_rays(o, d, mint, maxt)
     r_chunk = (_r_chunk_v6(caps) if v6 else _r_chunk(caps))
     chunks = _pad_rows(rays, n_rows, r_chunk)
@@ -871,9 +1020,16 @@ def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret,
             if v6:
                 l1_ids, l1_keys, ovf = build_exact_l1(
                     rays_c, ex, caps, interpret=interpret)
-                out = _call_l1_items(ex["tri"], ex["ct0"], rays_c,
-                                     l1_ids, l1_keys, any_hit=any_hit,
-                                     interpret=interpret)
+                if v6 >= 2:
+                    out = _call_l1_masked(ex["tri"], rays_c, l1_ids,
+                                          l1_keys, any_hit=any_hit,
+                                          blm=blm,
+                                          interpret=interpret)
+                else:
+                    out = _call_l1_items(ex["tri"], ex["ct0"], rays_c,
+                                         l1_ids, l1_keys,
+                                         any_hit=any_hit,
+                                         interpret=interpret)
                 return out, ovf
             ids, blk_tn, ovf = build_exact_items(rays_c, ex, caps,
                                                  interpret=interpret)
@@ -923,14 +1079,16 @@ def exact_closest(ex, o, d, mint, maxt, caps=CAPS_DIFFUSE,
     if v6 is None:
         v6 = _v6_on()
     return _exact_closest_jit(ex, o, d, mint, maxt, caps=caps,
-                              interpret=interpret, v6=bool(v6))
+                              interpret=interpret, v6=int(v6),
+                              blm=_v6_blm())
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("caps", "interpret", "v6"))
-def _exact_closest_jit(ex, o, d, mint, maxt, caps, interpret, v6):
+                   static_argnames=("caps", "interpret", "v6", "blm"))
+def _exact_closest_jit(ex, o, d, mint, maxt, caps, interpret, v6, blm):
     out, ovf, n = _run_chunked(ex, o, d, mint, maxt, caps,
-                               any_hit=False, interpret=interpret, v6=v6)
+                               any_hit=False, interpret=interpret,
+                               v6=v6, blm=blm)
     t = out[:, 0, :].reshape(-1)[:n]
     u = out[:, 1, :].reshape(-1)[:n]
     v = out[:, 2, :].reshape(-1)[:n]
@@ -949,14 +1107,16 @@ def exact_any(ex, o, d, mint, maxt, caps=CAPS_DIFFUSE,
     if v6 is None:
         v6 = _v6_on()
     return _exact_any_jit(ex, o, d, mint, maxt, caps=caps,
-                          interpret=interpret, v6=bool(v6))
+                          interpret=interpret, v6=int(v6),
+                          blm=_v6_blm())
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("caps", "interpret", "v6"))
-def _exact_any_jit(ex, o, d, mint, maxt, caps, interpret, v6):
+                   static_argnames=("caps", "interpret", "v6", "blm"))
+def _exact_any_jit(ex, o, d, mint, maxt, caps, interpret, v6, blm):
     out, ovf, n = _run_chunked(ex, o, d, mint, maxt, caps,
-                               any_hit=True, interpret=interpret, v6=v6)
+                               any_hit=True, interpret=interpret,
+                               v6=v6, blm=blm)
     occ = out[:, 0, :].reshape(-1)[:n] > 0.5
     lane_ovf = jnp.repeat(ovf, LANES)[:n]
     return occ, lane_ovf

@@ -841,6 +841,17 @@ def _stream_on() -> bool:
     return os.environ.get("MTS_STREAM", "1") != "0"
 
 
+def _force_exact() -> bool:
+    """MTS_FORCE_EXACT=1: run the exact-cull cluster path in Pallas
+    interpret mode on non-TPU backends. The v5 row build (128-lane row
+    population, retier compaction, overflow fallbacks) is population-
+    dependent; this lets the sharded==single equality test exercise it
+    on the virtual CPU mesh instead of only the XLA walk."""
+    import os
+
+    return os.environ.get("MTS_FORCE_EXACT", "0") == "1"
+
+
 def _exact_on() -> bool:
     """Work-list v5 (exact-cull item stream) kill switch: set MTS_EXACT=0
     to fall back to v4/v3. v5 culls exactly per lane (hierarchical
@@ -1013,7 +1024,7 @@ def _retier_capacity(n):
 
 
 def _retier_closest(geom: GeometryTables, ray: Ray, t, u, v, prim, valid,
-                    lane_ovf):
+                    lane_ovf, interp: bool = False):
     """Re-resolve CAPS_DIFFUSE-overflow rows at CAPS_XL on a row-
     compacted, CAPACITY-BOUNDED ray subset (~4 % of bounce rows
     overflow; the complete-backend fallback they previously hit cost
@@ -1040,7 +1051,7 @@ def _retier_closest(geom: GeometryTables, ray: Ray, t, u, v, prim, valid,
         xl = geom.ex_caps[2] if geom.ex_caps else ep.CAPS_XL
         t2, u2, v2, p2, ok2, ovf2 = ep.exact_closest(
             geom.ex_tables, g(ray.o), g(ray.d), g(ray.mint, 1.0),
-            g(mx, -1.0), caps=xl)
+            g(mx, -1.0), caps=xl, interpret=interp)
 
         # map back: original lane i sits at rank inv[i]; ranks >= m_xl
         # were not re-run (beyond capacity) and stay overflowed
@@ -1070,7 +1081,8 @@ def _retier_closest(geom: GeometryTables, ray: Ray, t, u, v, prim, valid,
                         (t, u, v, prim, valid, lane_ovf))
 
 
-def _retier_any(geom: GeometryTables, ray: Ray, occ, lane_ovf):
+def _retier_any(geom: GeometryTables, ray: Ray, occ, lane_ovf,
+                interp: bool = False):
     """Any-hit analog of _retier_closest."""
     from mitsuba_tpu.ops import exact_pallas as ep
 
@@ -1093,7 +1105,7 @@ def _retier_any(geom: GeometryTables, ray: Ray, occ, lane_ovf):
         xl = geom.ex_caps[2] if geom.ex_caps else ep.CAPS_XL
         occ2, ovf2 = ep.exact_any(
             geom.ex_tables, g(ray.o), g(ray.d), g(ray.mint, 1.0),
-            g(mx, -1.0), caps=xl)
+            g(mx, -1.0), caps=xl, interpret=interp)
         rk = inv[:n]
         in_xl = rk < m_xl
         rkc = jnp.minimum(rk, m_xl - 1)
@@ -1108,7 +1120,8 @@ def _retier_any(geom: GeometryTables, ray: Ray, occ, lane_ovf):
 
 
 def _fallback_closest_stream(geom: GeometryTables, ray: Ray, t, u, v,
-                             prim, valid, lane_ovf):
+                             prim, valid, lane_ovf,
+                             interp: bool = False):
     """Complete re-resolve of residual overflow lanes via the v4
     streaming intersector (full per-row lists, ordered early exit, no
     capacity). Rows are row-compacted to a 1/8 capacity first — the
@@ -1147,7 +1160,7 @@ def _fallback_closest_stream(geom: GeometryTables, ray: Ray, t, u, v,
 
             tf_, uf, vf, pf, okf = sp.stream_closest(
                 geom.st_tables, g(ray.o), g(ray.d), g(ray.mint, 1.0),
-                g(mx_all, -1.0))
+                g(mx_all, -1.0), interpret=interp)
             rk = inv[:n]
             rkc = jnp.minimum(rk, m_xl - 1)
             in_xl = rk < m_xl
@@ -1156,7 +1169,7 @@ def _fallback_closest_stream(geom: GeometryTables, ray: Ray, t, u, v,
 
         def full(_):
             return sp.stream_closest(geom.st_tables, ray.o, ray.d,
-                                     ray.mint, mx_all)
+                                     ray.mint, mx_all, interpret=interp)
 
         tf_, uf, vf, pf, okf = jax.lax.cond(n_rows_ovf <= r_xl,
                                             compacted, full, 0)
@@ -1169,7 +1182,8 @@ def _fallback_closest_stream(geom: GeometryTables, ray: Ray, t, u, v,
                         (t, u, v, prim, valid))
 
 
-def _fallback_any_stream(geom: GeometryTables, ray: Ray, occ, lane_ovf):
+def _fallback_any_stream(geom: GeometryTables, ray: Ray, occ, lane_ovf,
+                         interp: bool = False):
     """Any-hit analog of _fallback_closest_stream (row-compacted)."""
     from mitsuba_tpu.ops import stream_pallas as sp
 
@@ -1194,13 +1208,14 @@ def _fallback_any_stream(geom: GeometryTables, ray: Ray, occ, lane_ovf):
                 return xp[sel]
 
             fb = sp.stream_any(geom.st_tables, g(ray.o), g(ray.d),
-                               g(ray.mint, 1.0), g(mx_all, -1.0))
+                               g(ray.mint, 1.0), g(mx_all, -1.0),
+                               interpret=interp)
             rk = inv[:n]
             return fb[jnp.minimum(rk, m_xl - 1)] & (rk < m_xl)
 
         def full(_):
             return sp.stream_any(geom.st_tables, ray.o, ray.d, ray.mint,
-                                 mx_all)
+                                 mx_all, interpret=interp)
 
         fb = jax.lax.cond(n_rows_ovf <= r_xl, compacted, full, 0)
         return occ | (fb & lane_ovf)
@@ -1244,7 +1259,7 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
             emitter_id=jnp.where(valid, r["emitter_id"], -1),
             shape_id=jnp.where(valid, r["shape_id"], -1),
         )
-    if geom.backend == "cluster" and _use_pallas() \
+    if geom.backend == "cluster" and (_use_pallas() or _force_exact()) \
             and not geom.has_instances and _exact_on() \
             and geom.ex_tri is not None:
         # exact-cull item stream (work-list v5): per-lane exact
@@ -1254,19 +1269,21 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
         # result (subset tested) and re-resolve via the packet-BVH walk.
         from mitsuba_tpu.ops import exact_pallas as ep
 
+        interp = not _use_pallas()
         if _rootcap_on():
             ray = _cap_root_exit(geom, ray)
         dif, coh, _xl = geom.ex_caps or (ep.CAPS_DIFFUSE,
                                          ep.CAPS_COHERENT, ep.CAPS_XL)
         t, u, v, prim, valid, lane_ovf = ep.exact_closest(
             geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt,
-            caps=coh if coherent else dif)
+            caps=coh if coherent else dif, interpret=interp)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
         if _retier_on():
             t, u, v, prim, valid, lane_ovf = _retier_closest(
-                geom, ray, t, u, v, prim, valid, lane_ovf)
+                geom, ray, t, u, v, prim, valid, lane_ovf,
+                interp=interp)
         t, u, v, prim, valid = _fallback_closest_stream(
-            geom, ray, t, u, v, prim, valid, lane_ovf)
+            geom, ray, t, u, v, prim, valid, lane_ovf, interp=interp)
     elif geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():
         # per-row ordered streaming kernel (work-list v4): complete
@@ -1453,20 +1470,24 @@ def _ray_intersect_and_test_tri(geom: GeometryTables, ray: Ray,
 
 
 def _ray_test_tri(geom: GeometryTables, ray: Ray) -> jnp.ndarray:
-    if geom.backend == "cluster" and _use_pallas() \
+    if geom.backend == "cluster" and (_use_pallas() or _force_exact()) \
             and not geom.has_instances and _exact_on() \
             and geom.ex_tri is not None:
         from mitsuba_tpu.ops import exact_pallas as ep
 
+        interp = not _use_pallas()
         if _rootcap_on():
             ray = _cap_root_exit(geom, ray)
         dif = (geom.ex_caps or (ep.CAPS_DIFFUSE,))[0]
         occ, lane_ovf = ep.exact_any(
-            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt, caps=dif)
+            geom.ex_tables, ray.o, ray.d, ray.mint, ray.maxt, caps=dif,
+            interpret=interp)
         lane_ovf = lane_ovf & (ray.mint <= ray.maxt)
         if _retier_on():
-            occ, lane_ovf = _retier_any(geom, ray, occ, lane_ovf)
-        return _fallback_any_stream(geom, ray, occ, lane_ovf)
+            occ, lane_ovf = _retier_any(geom, ray, occ, lane_ovf,
+                                        interp=interp)
+        return _fallback_any_stream(geom, ray, occ, lane_ovf,
+                                    interp=interp)
     if geom.backend == "cluster" and _use_pallas() \
             and not geom.has_instances and _stream_on():
         from mitsuba_tpu.ops import stream_pallas as sp
