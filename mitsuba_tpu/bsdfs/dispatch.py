@@ -108,7 +108,7 @@ def _bsdf_eval_leaf(table: MaterialTable, material_id, wi, wo, albedo=None, uv=N
     p = _resolve(table.gather(material_id), albedo, uv)
     fl = _flip_mask(p, wi)
     wi_f, wo_f = _flip(wi, fl), _flip(wo, fl)
-    out = jnp.zeros(wi.shape[:-1] + (3,))
+    out = jnp.zeros(wi.shape[:-1] + (table.reflectance.shape[-1],))
     for kind, dist in table.kinds_present:
         pk = dict(p, _dist_static=dist)
         mask = p["kind"] == kind
@@ -231,7 +231,7 @@ def _bsdf_sample_leaf(table: MaterialTable, material_id, wi, u2, u1,
     p = _resolve(table.gather(material_id), albedo, uv)
     fl = _flip_mask(p, wi)
     wi_f = _flip(wi, fl)
-    out = md._zero_sample(wi)
+    out = md._zero_sample(wi, p["reflectance"].shape[-1])
     for kind, dist in table.kinds_present:
         pk = dict(p, _dist_static=dist)
         mask = p["kind"] == kind

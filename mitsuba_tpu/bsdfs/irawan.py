@@ -407,7 +407,7 @@ def irawan_sample(p, wi, u2, u1):
     pdf = warp.square_to_cosine_hemisphere_pdf(wo)
     valid = (m.cos_theta(wi) > 0) & (pdf > 0)
     fcos = irawan_eval(p, wi, wo)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-9)[..., None]),

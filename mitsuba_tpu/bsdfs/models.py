@@ -30,11 +30,11 @@ def _mask3(mask, x):
     return jnp.where(mask[..., None], x, 0.0)
 
 
-def _zero_sample(wi):
+def _zero_sample(wi, c=3):
     n = wi.shape[0]
     return dict(
         wo=jnp.zeros_like(wi),
-        weight=jnp.zeros((n, 3)),
+        weight=jnp.zeros((n, c)),
         pdf=jnp.zeros(n),
         delta=jnp.zeros(n, bool),
         transmission=jnp.zeros(n, bool),
@@ -60,7 +60,7 @@ def lambertian_sample(p, wi, u2, u1):
     wo = warp.square_to_cosine_hemisphere(u2)
     pdf = warp.square_to_cosine_hemisphere_pdf(wo)
     valid = (m.cos_theta(wi) > 0) & (pdf > 0)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, p["reflectance"]),
@@ -75,7 +75,7 @@ def lambertian_sample(p, wi, u2, u1):
 # ---------------------------------------------------------------------------
 
 def mirror_eval(p, wi, wo):
-    return jnp.zeros(wi.shape[:-1] + (3,))
+    return jnp.zeros(wi.shape[:-1] + (p["reflectance"].shape[-1],))
 
 
 def mirror_pdf(p, wi, wo):
@@ -85,7 +85,7 @@ def mirror_pdf(p, wi, wo):
 def mirror_sample(p, wi, u2, u1):
     wo = m.reflect_local(wi)
     valid = m.cos_theta(wi) > 0
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, p["specular"]),
@@ -101,7 +101,7 @@ def mirror_sample(p, wi, u2, u1):
 # ---------------------------------------------------------------------------
 
 def dielectric_eval(p, wi, wo):
-    return jnp.zeros(wi.shape[:-1] + (3,))
+    return jnp.zeros(wi.shape[:-1] + (p["reflectance"].shape[-1],))
 
 
 def dielectric_pdf(p, wi, wo):
@@ -129,7 +129,7 @@ def dielectric_sample(p, wi, u2, u1):
     )
     tir = cos_t == 0.0
     valid = jnp.where(reflect, True, ~tir)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, weight),
@@ -183,7 +183,7 @@ def rough_conductor_sample(p, wi, u2, u1):
     pdf = pdf_h / jnp.maximum(4.0 * jnp.abs(m.dot(wo, wh)), 1e-8)
     valid = _both_upper(wi, wo) & (pdf > 1e-12)
     fcos = rough_conductor_eval(p, wi, wo)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-12)[..., None]),
@@ -243,7 +243,7 @@ def phong_sample(p, wi, u2, u1):
     pdf = phong_pdf(p, wi, wo)
     valid = _both_upper(wi, wo) & (pdf > 1e-10)
     fcos = phong_eval(p, wi, wo)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-10)[..., None]),
@@ -313,7 +313,7 @@ def ward_sample(p, wi, u2, u1):
     pdf = ward_pdf(p, wi, wo)
     valid = _both_upper(wi, wo) & (pdf > 1e-10)
     fcos = ward_eval(p, wi, wo)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-10)[..., None]),
@@ -415,7 +415,7 @@ def roughglass_sample(p, wi, u2, u1):
     # sidedness guard
     facing = cos_ih * ci > 0
     valid = ok_side & facing & (pdf > 1e-10) & (reflect | ~tir)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-10)[..., None]),
@@ -447,7 +447,7 @@ def difftrans_sample(p, wi, u2, u1):
     wo = wo_up * jnp.array([1.0, 1.0, -1.0])
     pdf = jnp.abs(m.cos_theta(wo)) * m.INV_PI
     valid = (m.cos_theta(wi) > 0) & (pdf > 0)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, p["transmittance"]),
@@ -490,7 +490,7 @@ def wiscombe_sample(p, wi, u2, u1):
     pdf = warp.square_to_cosine_hemisphere_pdf(wo)
     valid = (m.cos_theta(wi) > 0) & (pdf > 0)
     fcos = wiscombe_eval(p, wi, wo)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-9)[..., None]),
@@ -540,7 +540,7 @@ def hk_sample(p, wi, u2, u1):
     pdf = warp.square_to_cosine_hemisphere_pdf(wo)
     valid = (m.cos_theta(wi) > 0) & (pdf > 0)
     fcos = hk_eval(p, wi, wo)
-    s = _zero_sample(wi)
+    s = _zero_sample(wi, p["reflectance"].shape[-1])
     s.update(
         wo=wo,
         weight=_mask3(valid, fcos / jnp.maximum(pdf, 1e-9)[..., None]),

@@ -75,6 +75,10 @@ class MaterialTable:
         one-hot matmul — an MXU op instead of 13 serialized dynamic gathers."""
         mcount = self.n_materials
         i = jnp.clip(material_id, 0, mcount - 1)
+        # color fields are (M, C) with C = SPECTRUM_SAMPLES of the scene
+        # (3 for RGB, n for spectral rendering — reference spectrum.h:27's
+        # compile-time knob as a table shape); conductor eta/k stay RGB
+        c = self.reflectance.shape[-1]
         if mcount <= 64 and i.ndim == 1:
             onehot = (i[:, None] == jnp.arange(mcount)[None, :]).astype(jnp.float32)
             packed = jnp.concatenate(
@@ -92,21 +96,22 @@ class MaterialTable:
                 axis=1,
             )
             rows = onehot @ packed
+            s = 3 * c
             out = {
-                "reflectance": rows[:, 0:3],
-                "specular": rows[:, 3:6],
-                "transmittance": rows[:, 6:9],
-                "cond_eta": rows[:, 9:12],
-                "cond_k": rows[:, 12:15],
-                "eta": rows[:, 15],
-                "alpha_u": rows[:, 16],
-                "alpha_v": rows[:, 17],
-                "exponent": rows[:, 18],
-                "opacity": rows[:, 19],
-                "kind": rows[:, 20].astype(jnp.int32),
-                "dist_type": rows[:, 21].astype(jnp.int32),
-                "tex_id": jnp.round(rows[:, 22]).astype(jnp.int32),
-                "two_sided": rows[:, 23] > 0.5,
+                "reflectance": rows[:, 0:c],
+                "specular": rows[:, c:2 * c],
+                "transmittance": rows[:, 2 * c:3 * c],
+                "cond_eta": rows[:, s:s + 3],
+                "cond_k": rows[:, s + 3:s + 6],
+                "eta": rows[:, s + 6],
+                "alpha_u": rows[:, s + 7],
+                "alpha_v": rows[:, s + 8],
+                "exponent": rows[:, s + 9],
+                "opacity": rows[:, s + 10],
+                "kind": rows[:, s + 11].astype(jnp.int32),
+                "dist_type": rows[:, s + 12].astype(jnp.int32),
+                "tex_id": jnp.round(rows[:, s + 13]).astype(jnp.int32),
+                "two_sided": rows[:, s + 14] > 0.5,
             }
             if self.cloth is not None:
                 out["_cloth"] = self.cloth
@@ -331,6 +336,26 @@ class MaterialBuilder:
     def build(self) -> MaterialTable:
         if not self.rows:
             self.lambertian()
+        # spectral rendering: color fields widen to the widest row's
+        # channel count C (SPECTRUM_SAMPLES as a value); 3-wide uniform
+        # grays broadcast, anything else must be given at full width
+        c = max(len(np.atleast_1d(r[k])) for r in self.rows
+                for k in ("reflectance", "specular", "transmittance"))
+
+        def _widen(v):
+            v = np.asarray(v, np.float32).reshape(-1)
+            if v.shape[0] == c:
+                return v
+            if np.all(v == v[0]):
+                return np.full(c, v[0], np.float32)
+            raise ValueError(
+                f"color field of width {v.shape[0]} cannot widen to the "
+                f"scene's {c} spectral channels unless it is uniform")
+
+        if c != 3:
+            for r in self.rows:
+                for k in ("reflectance", "specular", "transmittance"):
+                    r[k] = _widen(r[k])
         f32 = lambda k: jnp.asarray(np.array([r[k] for r in self.rows], np.float32))
         i32 = lambda k: jnp.asarray(np.array([r[k] for r in self.rows], np.int32))
         # (kind, dist) pairs: microfacet distribution is a static trace-time

@@ -1,8 +1,13 @@
-"""Spectral power distributions (RGB, 3 channels) + color conversions.
+"""Spectral power distributions (RGB fast path, 3 channels) + color
+conversions.
 
-Capability parity with reference include/mitsuba/core/spectrum.h (compiled
-with SPECTRUM_SAMPLES=3): RGB<->XYZ, luminance, sRGB gamma, blackbody.
+Capability parity with reference include/mitsuba/core/spectrum.h compiled
+with SPECTRUM_SAMPLES=3: RGB<->XYZ, luminance, sRGB gamma, blackbody.
 A spectrum is simply a jnp array with trailing axis SPECTRUM_SAMPLES.
+For SPECTRUM_SAMPLES != 3 (the reference's compile-time n-bin mode,
+spectrum.h:27) see core/spectral.py: `SpectralBins(n)` feeds n-channel
+material/emitter tables and the wavefront loop runs n-channel end to end
+(gated by the n=8 furnace render in tests/test_spectral.py).
 """
 from __future__ import annotations
 

@@ -177,16 +177,33 @@ class EmitterBuilder:
             )
         e = len(self.rows)
         kind = np.array([r["kind"] for r in self.rows], np.int32)
+        # spectral rendering: widen radiance rows to the widest channel
+        # count (uniform grays broadcast; cf. MaterialBuilder.build)
+        c = max(len(np.atleast_1d(r["radiance"])) for r in self.rows)
+        if c != 3:
+            for r in self.rows:
+                v = np.asarray(r["radiance"], np.float32).reshape(-1)
+                if v.shape[0] != c:
+                    if not np.all(v == v[0]):
+                        raise ValueError(
+                            f"emitter radiance width {v.shape[0]} cannot "
+                            f"widen to {c} spectral channels (non-uniform)")
+                    v = np.full(c, v[0], np.float32)
+                r["radiance"] = v
         radiance = np.array([r["radiance"] for r in self.rows], np.float32)
         t = int(tri_emitter_id.shape[0])
         tri_emitter_id = np.asarray(tri_emitter_id)
         tri_areas = np.asarray(tri_areas, np.float64)
 
         # record weights: emissive triangles weighted by area × luminance
-        lum = np.maximum(
-            0.212671 * radiance[:, 0] + 0.71516 * radiance[:, 1] + 0.072169 * radiance[:, 2],
-            0.0,
-        )
+        # (BT.709 luminance for RGB; channel mean for n-bin spectra —
+        # selection weights only need relative brightness)
+        if radiance.shape[-1] == 3:
+            lum = np.maximum(
+                0.212671 * radiance[:, 0] + 0.71516 * radiance[:, 1]
+                + 0.072169 * radiance[:, 2], 0.0)
+        else:
+            lum = np.maximum(radiance.mean(axis=-1), 0.0)
         tri_w = np.where(
             tri_emitter_id >= 0,
             tri_areas * lum[np.clip(tri_emitter_id, 0, e - 1)],
@@ -320,10 +337,11 @@ def sample_direct(em: EmitterTable, geom, p_ref, u_select, u_pos) -> DirectSampl
     kind = em.kind[eid]
     is_tri = rec < em.n_tri_records
 
+    n_ch = em.radiance.shape[-1]
     out_d = jnp.zeros((n, 3))
     out_dist = jnp.full((n,), jnp.inf)
     out_n = jnp.zeros((n, 3))
-    out_value = jnp.zeros((n, 3))
+    out_value = jnp.zeros((n, n_ch))
     out_pdf = jnp.zeros((n,))
     out_delta = jnp.zeros((n,), bool)
     valid = pmf > 0
@@ -548,12 +566,13 @@ def eval_emitter_hit(em: EmitterTable, emitter_id, wi_world, n_hit):
 def eval_environment(em: EmitterTable, d_world):
     """Background radiance for escaped rays (reference Scene::LeBackground)."""
     if em.env_id < 0:
-        return jnp.zeros(d_world.shape[:-1] + (3,))
+        return jnp.zeros(d_world.shape[:-1] + (em.radiance.shape[-1],))
     if em.env_kind in (ENVMAP, SKY):
         from mitsuba_tpu.emitters.envmap import env_eval
 
         return env_eval(em.env_image, d_world, to_env=em.env_to_env)
-    return jnp.broadcast_to(em.radiance[em.env_id], d_world.shape[:-1] + (3,))
+    return jnp.broadcast_to(em.radiance[em.env_id],
+                            d_world.shape[:-1] + (em.radiance.shape[-1],))
 
 
 def eval_and_pdf_environment(em: EmitterTable, d_world):
@@ -561,7 +580,7 @@ def eval_and_pdf_environment(em: EmitterTable, d_world):
     and shared index math (the path integrator's escape block needs
     both for every lane every bounce). Bit-identical results."""
     if em.env_id < 0:
-        return (jnp.zeros(d_world.shape[:-1] + (3,)),
+        return (jnp.zeros(d_world.shape[:-1] + (em.radiance.shape[-1],)),
                 jnp.zeros(d_world.shape[:-1]))
     rec_ids = em.rec_emitter[em.n_tri_records:]
     mask = rec_ids == em.env_id
@@ -573,7 +592,7 @@ def eval_and_pdf_environment(em: EmitterTable, d_world):
                                 to_env=em.env_to_env)
         return val, pmf_env * pdf
     val = jnp.broadcast_to(em.radiance[em.env_id],
-                           d_world.shape[:-1] + (3,))
+                           d_world.shape[:-1] + (em.radiance.shape[-1],))
     return val, jnp.full(d_world.shape[:-1], pmf_env * m.INV_FOURPI)
 
 

@@ -387,9 +387,10 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
     if cfg.skip_direct_emission:
         em_w = em_w.at[0].set(0.0)
 
+    n_ch = scene.materials.reflectance.shape[-1]   # SPECTRUM_SAMPLES
     init = (
-        jnp.zeros((n, 3)),            # L
-        jnp.ones((n, 3)),             # throughput
+        jnp.zeros((n, n_ch)),         # L
+        jnp.ones((n, n_ch)),          # throughput
         ray,
         jnp.ones(n, bool),            # active
         jnp.zeros(n),                 # prev_pdf (BSDF pdf that made this ray)
@@ -403,7 +404,7 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
         # closest hit (one Pallas launch, shared triangle loop); its
         # contribution lands one scan step later
         Ray.make(ray.o, ray.d, maxt=jnp.full(n, -1.0)),   # pending shadow
-        jnp.zeros((n, 3)),            # pending NEE contribution
+        jnp.zeros((n, n_ch)),         # pending NEE contribution
         jnp.zeros(n, bool),           # pending valid
         # hash-based ray-path prediction table (scalar placeholder when
         # off — same pattern as path_len) + bound/shortcut hit counter

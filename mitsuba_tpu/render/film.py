@@ -24,14 +24,15 @@ def develop(L, offsets, spp: int, height: int, width: int,
     L: (N, 3) with N = H*W*spp, lane-major (pixel*spp + sample).
     offsets: (N, 2) sub-pixel sample offsets in [0,1)² (x, y).
     """
+    c = L.shape[-1]
     if rfilter is None or rfilter.name == "box":
-        return L.reshape(height, width, spp, 3).mean(axis=2)
+        return L.reshape(height, width, spp, c).mean(axis=2)
 
     r = int(math.ceil(rfilter.radius - 0.5))
-    lv = L.reshape(height, width, spp, 3)
+    lv = L.reshape(height, width, spp, c)
     off = offsets.reshape(height, width, spp, 2)
 
-    acc = jnp.zeros((height, width, 3))
+    acc = jnp.zeros((height, width, c))
     wacc = jnp.zeros((height, width, 1))
     # Gather: pixel (i, j) collects samples of pixel (i+dy, j+dx); a sample
     # at position (j+dx + ox, i+dy + oy) is at distance
@@ -54,7 +55,7 @@ def develop(L, offsets, spp: int, height: int, width: int,
 def develop_with_variance(L, spp: int, height: int, width: int):
     """Box-filtered image + per-pixel sample variance + count — the MFilm
     capability (src/films/mfilm.cpp) used by the statistical test harness."""
-    lv = L.reshape(height, width, spp, 3)
+    lv = L.reshape(height, width, spp, L.shape[-1])
     mean = lv.mean(axis=2)
     var = lv.var(axis=2, ddof=1) if spp > 1 else jnp.zeros_like(mean)
     n = jnp.full((height, width), spp, jnp.int32)
