@@ -17,6 +17,7 @@ Directions use the reference's lat-long convention: v=0 at +z pole
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mitsuba_tpu.core import math as m
@@ -133,19 +134,30 @@ def env_sample(prob, alias, pdf_img, u2, from_env=None, image=None):
     x = jnp.clip(u2[..., 0], 0.0, 1.0 - 1e-7) * hw
     k = jnp.clip(x.astype(jnp.int32), 0, hw - 1)
     frac = x - k.astype(jnp.float32)
-    idx = jnp.where(frac < prob[k], k, alias[k])
+    # packed rows: [prob | alias] gathered ONCE at k, then
+    # [pdf | r g b] ONCE at idx — 2 row-gathers instead of 4 flat
+    # gathers (law 1, docs/PERF_NOTES.md: per-index cost dominates, so
+    # channels ride along free; the concats are loop-invariant scene
+    # constants that XLA hoists out of the bounce scan)
+    pa = jnp.concatenate(
+        [prob[:, None],
+         jax.lax.bitcast_convert_type(alias, jnp.float32)[:, None]],
+        axis=1)[k]
+    idx = jnp.where(frac < pa[..., 0],
+                    k, jax.lax.bitcast_convert_type(pa[..., 1],
+                                                    jnp.int32))
     row = idx // w
     col = idx % w
     uv = jnp.stack([(col + 0.5) / w, (row + 0.5) / h], axis=-1)
     d = latlong_uv_to_dir(uv)
-    pdf = pdf_img.reshape(-1)[idx]
     if from_env is not None:
         from mitsuba_tpu.core import transform as tf
         d = tf.apply_vector(from_env, d)
     if image is not None:
-        val = image.reshape(hw, -1)[idx]
-        return d, pdf, val
-    return d, pdf
+        pv = jnp.concatenate([pdf_img.reshape(hw, 1),
+                              image.reshape(hw, -1)], axis=1)[idx]
+        return d, pv[..., 0], pv[..., 1:]
+    return d, pdf_img.reshape(-1)[idx]
 
 
 def env_eval_pdf(image, pdf_img, d, to_env=None):
@@ -159,7 +171,7 @@ def env_eval_pdf(image, pdf_img, d, to_env=None):
         d = tf.apply_vector(to_env, d)
     uv = latlong_dir_to_uv(d)
     h, w = image.shape[0], image.shape[1]
-    flat = image.reshape(h * w, -1)
+    hp, wp = pdf_img.shape
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
     x0 = jnp.floor(x)
@@ -170,15 +182,35 @@ def env_eval_pdf(image, pdf_img, d, to_env=None):
     xi1 = jnp.mod(x0.astype(jnp.int32) + 1, w)
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     yi1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    if (hp, wp) == (h, w):
+        # pdf rides the 4 corner gathers as a packed 4th channel: the
+        # nearest texel (colp = floor(uv*w) = the nearer bilinear
+        # corner, incl. at the wrap seam and clipped poles) is always
+        # one of the corners, so selecting its pdf value by the
+        # bilinear fractions replaces the 5th (N,)-gather
+        flat = jnp.concatenate([image.reshape(h * w, -1),
+                                pdf_img.reshape(h * w, 1)], axis=1)
+        c00 = flat[yi0 * w + xi0]
+        c10 = flat[yi0 * w + xi1]
+        c01 = flat[yi1 * w + xi0]
+        c11 = flat[yi1 * w + xi1]
+        c = (c00[..., :3] * (1 - fx) * (1 - fy)
+             + c10[..., :3] * fx * (1 - fy)
+             + c01[..., :3] * (1 - fx) * fy
+             + c11[..., :3] * fx * fy)
+        right = fx[..., 0] >= 0.5
+        down = fy[..., 0] >= 0.5
+        pdf = jnp.where(
+            down, jnp.where(right, c11[..., 3], c01[..., 3]),
+            jnp.where(right, c10[..., 3], c00[..., 3]))
+        return c, pdf
+    flat = image.reshape(h * w, -1)
     c = (
         flat[yi0 * w + xi0] * (1 - fx) * (1 - fy)
         + flat[yi0 * w + xi1] * fx * (1 - fy)
         + flat[yi1 * w + xi0] * (1 - fx) * fy
         + flat[yi1 * w + xi1] * fx * fy
     )
-    # nearest texel indices derive from the already computed uv without a
-    # second trig pass (covers the common same-resolution case too)
-    hp, wp = pdf_img.shape
     colp = jnp.clip((uv[..., 0] * wp).astype(jnp.int32), 0, wp - 1)
     rowp = jnp.clip((uv[..., 1] * hp).astype(jnp.int32), 0, hp - 1)
     pdf = pdf_img.reshape(-1)[rowp * wp + colp]

@@ -911,6 +911,12 @@ def _call_l1_masked(ex_tri, rays, l1_ids, l1_keys, any_hit: bool,
                     blm: int = 4, interpret: bool = False):
     """v6b chunk: rays (Rc,8,128), l1_ids/l1_keys (Rc,E2)."""
     Rc, E2 = l1_ids.shape
+    # grid = E2 // blm steps: blm MUST divide E2 or the trailing
+    # E2 % blm slots would silently never be tested (missed hits);
+    # clamp to the largest divisor <= requested (E2=32 coherent caps
+    # with blm=24 -> 16)
+    while E2 % blm:
+        blm -= 1
     tri64 = ex_tri.reshape(-1, 8, 8, LANES)
     tri_specs = [
         pl.BlockSpec((1, 8, 8, LANES),
@@ -944,12 +950,23 @@ def _call_l1_masked(ex_tri, rays, l1_ids, l1_keys, any_hit: bool,
 
 def _v6_on() -> int:
     """v6-family L1-granularity item kernels (K8 cull folded in-kernel):
-    MTS_V6=0 off (default), 1 = branched fold (round-4 negative result,
-    docs/PERF_NOTES.md law 6), 2 = branchless masked fold (v6b)."""
+    MTS_V6=2 = branchless masked fold (v6b: one ordered-skip cond per
+    grid step, all blm*8 clusters MT'd; bitwise-identical to v5, folds
+    away the S3 refine + the 3072-wide sort, +2-3% e2e and -26/-36%
+    query-level on uncapped rays), 1 = branched fold (round-4 negative
+    result, docs/PERF_NOTES.md law 6), 0 = v5. Unset: compiled TPU runs
+    default to 2, interpret-mode (CPU test) runs to 0 — the masked
+    fold's blm*8 unrolled MT items are pathological for the Python
+    interpreter (set the env var to force either everywhere)."""
     import os
 
+    v = os.environ.get("MTS_V6")
+    if v is None:
+        import jax
+
+        return 2 if jax.default_backend() == "tpu" else 0
     try:
-        return int(os.environ.get("MTS_V6", "0"))
+        return int(v)
     except ValueError:
         return 0
 
@@ -988,15 +1005,17 @@ def _pad_rows(rays, n_rows, r_chunk=R_CHUNK):
 
 
 def _v6_blm() -> int:
-    """v6b L1 mega-blocks per grid step (MTS_V6BLM, default 4).
-    Resolved OUTSIDE the jit by the public wrappers (same trap as
-    MTS_V6: a trace-time read would freeze into the compile cache)."""
+    """v6b L1 mega-blocks per grid step (MTS_V6BLM, default 16 — the
+    e2e-best valid setting of the round-5 sweep; clamped per call to a
+    divisor of the caps' E2). Resolved OUTSIDE the jit by the public
+    wrappers (same trap as MTS_V6: a trace-time read would freeze into
+    the compile cache)."""
     import os
 
     try:
-        return max(1, int(os.environ.get("MTS_V6BLM", "4")))
+        return max(1, int(os.environ.get("MTS_V6BLM", "16")))
     except ValueError:
-        return 4
+        return 16
 
 
 def _run_chunked(ex, o, d, mint, maxt, caps, any_hit, interpret,

@@ -51,6 +51,12 @@ class GeometryTables:
     # packed single-gather layouts (ints stored as exact f32 < 2^24):
     bvh_packed: jnp.ndarray = None   # (M, 9) bmin|bmax|first|count|skip
     tri_packed: jnp.ndarray = None   # (T, 9) v0|e1|e2
+    # ONE row-gather for the whole shading record (law 1,
+    # docs/PERF_NOTES.md: the ~11 per-prim attribute gathers of the
+    # Intersection build each cost like a full (N,)-gather; packed they
+    # amortize into one). Columns: e1|e2|n0|n1|n2|uv0|uv1|uv2|
+    # mid(bitcast)|eid(bitcast)|sid(bitcast)
+    shade_pack: jnp.ndarray = None   # (T, 24)
     # 14-records-per-128-lane-row layouts for the Pallas packet kernel
     bvh_rows: jnp.ndarray = None     # (ceil(M/14), 128)
     tri_rows: jnp.ndarray = None     # (ceil(T/14), 128)
@@ -484,6 +490,18 @@ def build_geometry(meshes_with_ids, backend: str = "auto",
         ).astype(np.float32)),
         bvh_rows=jnp.asarray(_pack_rows_np(_node_pack)),
         tri_rows=jnp.asarray(_pack_rows_np(_tri_pack)),
+        shade_pack=jnp.asarray(np.concatenate(
+            [(tri[:, 1] - tri[:, 0]).astype(np.float32),
+             (tri[:, 2] - tri[:, 0]).astype(np.float32),
+             n[f[:, 0]].astype(np.float32),
+             n[f[:, 1]].astype(np.float32),
+             n[f[:, 2]].astype(np.float32),
+             uv[f[:, 0]].astype(np.float32),
+             uv[f[:, 1]].astype(np.float32),
+             uv[f[:, 2]].astype(np.float32),
+             mid.astype(np.int32).view(np.float32)[:, None],
+             eid.astype(np.int32).view(np.float32)[:, None],
+             sid.astype(np.int32).view(np.float32)[:, None]], axis=1)),
         backend=backend,
     )
 
@@ -1330,16 +1348,33 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
     prim = jnp.where(is_inst, 0, prim_raw)
     p = ray.at(jnp.where(valid, t, 1.0))   # finite on miss (see above)
     w = 1.0 - u - v
-    geo_n = m.normalize(jnp.cross(geom.e1[prim], geom.e2[prim]))
+    if geom.shade_pack is not None:
+        # the whole shading record in ONE (N, 24) row-gather (field
+        # layout: GeometryTables.shade_pack)
+        sp_row = geom.shade_pack[prim]
+        e1g, e2g = sp_row[:, 0:3], sp_row[:, 3:6]
+        n0g, n1g, n2g = sp_row[:, 6:9], sp_row[:, 9:12], sp_row[:, 12:15]
+        uv0g, uv1g, uv2g = (sp_row[:, 15:17], sp_row[:, 17:19],
+                            sp_row[:, 19:21])
+        material_id = jax.lax.bitcast_convert_type(sp_row[:, 21],
+                                                   jnp.int32)
+        emitter_id = jax.lax.bitcast_convert_type(sp_row[:, 22],
+                                                  jnp.int32)
+        shape_id = jax.lax.bitcast_convert_type(sp_row[:, 23], jnp.int32)
+    else:
+        e1g, e2g = geom.e1[prim], geom.e2[prim]
+        n0g, n1g, n2g = geom.n0[prim], geom.n1[prim], geom.n2[prim]
+        uv0g, uv1g, uv2g = geom.uv0[prim], geom.uv1[prim], geom.uv2[prim]
+        material_id = geom.material_id[prim]
+        emitter_id = geom.emitter_id[prim]
+        shape_id = geom.shape_id[prim]
+    geo_n = m.normalize(jnp.cross(e1g, e2g))
     sh_n = m.normalize(
-        w[:, None] * geom.n0[prim] + u[:, None] * geom.n1[prim] + v[:, None] * geom.n2[prim]
+        w[:, None] * n0g + u[:, None] * n1g + v[:, None] * n2g
     )
     uv = (
-        w[:, None] * geom.uv0[prim] + u[:, None] * geom.uv1[prim] + v[:, None] * geom.uv2[prim]
+        w[:, None] * uv0g + u[:, None] * uv1g + v[:, None] * uv2g
     )
-    material_id = geom.material_id[prim]
-    emitter_id = geom.emitter_id[prim]
-    shape_id = geom.shape_id[prim]
     if geom.has_instances:
         # virtual prims: decode (cluster, local) and shade from the shared
         # object-space block tables, rotating directions to world space
@@ -1392,16 +1427,16 @@ def _ray_intersect_tri(geom: GeometryTables, ray: Ray,
     # true parametric dp_du from the uv parameterization (reference
     # trimesh.cpp fillIntersectionRecord): solve [e1 e2] = [dp_du dp_dv]
     # * [duv1 duv2]; falls back to e1 for degenerate uv charts
-    duv1 = geom.uv1[prim] - geom.uv0[prim]
-    duv2 = geom.uv2[prim] - geom.uv0[prim]
+    duv1 = uv1g - uv0g
+    duv2 = uv2g - uv0g
     det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
     ok_uv = jnp.abs(det_uv) > 1e-12
     inv_det = 1.0 / jnp.where(ok_uv, det_uv, 1.0)
     dp_du = jnp.where(
         ok_uv[:, None],
-        (duv2[:, 1:2] * geom.e1[prim] - duv1[:, 1:2] * geom.e2[prim])
+        (duv2[:, 1:2] * e1g - duv1[:, 1:2] * e2g)
         * inv_det[:, None],
-        geom.e1[prim])
+        e1g)
     if geom.has_instances:
         duv1i = geom.obj_uv1[oid] - geom.obj_uv0[oid]
         duv2i = geom.obj_uv2[oid] - geom.obj_uv0[oid]

@@ -36,10 +36,13 @@ def _query(geom, v6, n=384, seed=1):
 
 
 @pytest.mark.parametrize("v6", [1, 2])
-def test_v6_fold_matches_v5(geom, v6):
+def test_v6_fold_matches_v5(geom, v6, monkeypatch):
     """MTS_V6=1 (branched L1-fold, round-4 negative result) and =2
-    (branchless masked fold) must stay bitwise-consistent with v5 on
-    rows neither overflowed."""
+    (branchless masked fold, the TPU default) must stay bitwise-
+    consistent with v5 on rows neither overflowed."""
+    # small blm: the interpreter pays per unrolled MT item (blm*8 of
+    # them per grid step) — the TPU-default 16 is pathological here
+    monkeypatch.setenv("MTS_V6BLM", "4")
     t0, p0, ok0, ov0, occ0, aov0 = _query(geom, 0)
     t1, p1, ok1, ov1, occ1, aov1 = _query(geom, v6)
     cmp = ~(ov0 | ov1)
