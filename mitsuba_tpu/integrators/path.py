@@ -339,6 +339,24 @@ def _cone_duv_aniso(geom, its, d, width):
     return duv_dx, duv_dy
 
 
+def _glue_chunks() -> int:
+    """MTS_GLUE_CHUNKS (default 1 = OFF): the bounce's post-intersection
+    glue (pend resolve, escape env, emitter hit, albedo, NEE, BSDF
+    sample, RR) runs as this many sequential lax.map chunks with a
+    per-chunk all-dead skip. NEGATIVE RESULT on config-3 (round 5,
+    docs/PERF_NOTES.md): 1.713 -> 1.672 Mrays/s at 16 chunks — lax.map
+    lowers to a scan whose per-chunk dynamic-slice/update moves the
+    whole ~26-channel working set through HBM once per bounce, which
+    costs more than the ~30% of chunks (sky regions) that skip their
+    glue at depth >= 2. Kept behind the knob for scenes with higher
+    dead-chunk fractions (deep depths, mostly-sky frames). Applies only
+    to the plain sorted config (no guide/SSS/prediction/mip)."""
+    try:
+        return max(1, int(os.environ.get("MTS_GLUE_CHUNKS", "1")))
+    except ValueError:
+        return 1
+
+
 def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                guide=None, learn_guide: bool = False,
                guide_alpha: float = 0.5, guide_sampling: bool = None):
@@ -473,7 +491,14 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                     scene, ray_q, pend_q, cfg.sort_mode)
             else:
                 its = _sorted_intersect(scene, ray_q, cfg.sort_mode)
-                s_occ = _sorted_test(scene, pend_q, cfg.sort_mode)
+                # shadow rays may use a cheaper ordering: env-NEE
+                # directions concentrate in few octants and origins
+                # already carry the hit-point coherence, so the linear
+                # octant counting-sort can replace the full argsort
+                # (MTS_SHADOWSORT=octant; default = cfg.sort_mode)
+                s_occ = _sorted_test(
+                    scene, pend_q,
+                    os.environ.get("MTS_SHADOWSORT", cfg.sort_mode))
         else:
             its, s_occ = ray_intersect_and_test(scene.geom, ray_q, pend_q)
         if cfg.hit_prediction:
@@ -484,6 +509,141 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                 & (its.prim_id < scene.geom.n_tris)
             pred_table = pred_table.at[kc].set(
                 jnp.where(ok_upd, its.prim_id, pred))
+        # --- chunked glue (plain config): everything below is per-lane
+        # elementwise + small-table gathers; lanes keep pixel-Morton
+        # order, so deaths cluster spatially and whole chunks skip via
+        # cond at deep bounces (see _glue_chunks) -------------------------
+        plain = (cfg.sort_rays
+                 and not cfg.hit_prediction and not cfg.mip_filter
+                 and scene.subsurface is None and guide is None
+                 and not learn_guide and not guide_sampling
+                 and not cfg.strict_normals)
+        n_gc = _glue_chunks()
+        if plain and not first and n_gc > 1 and n % n_gc == 0:
+            def live_body(sl):
+                (L, throughput, ray, active, prev_pdf, prev_delta,
+                 depth_count, pend_contrib, pend_ok, s_occ, its,
+                 u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr) = sl
+                L = L + jnp.where((pend_ok & ~s_occ)[:, None],
+                                  pend_contrib, 0.0)
+                esc = active & ~its.valid
+                env, env_pdf = eval_and_pdf_environment(scene.emitters,
+                                                        ray.d)
+                w_env = jnp.where(prev_delta, 1.0,
+                                  mi_weight(prev_pdf, env_pdf))
+                L = L + em_w * jnp.where(
+                    esc[:, None], throughput * env * w_env[:, None], 0.0)
+                active = active & its.valid
+                depth_count = depth_count + active.astype(jnp.int32)
+                le = eval_emitter_hit(scene.emitters, its.emitter_id,
+                                      -ray.d, its.geo_n)
+                lum_pdf = pdf_direct_area(
+                    scene.emitters, its.prim_id, ray.o, its.p, its.geo_n,
+                    emitter_id=its.emitter_id)
+                w_bsdf = jnp.where(prev_delta, 1.0,
+                                   mi_weight(prev_pdf, lum_pdf))
+                L = L + em_w * jnp.where(
+                    active[:, None], throughput * le * w_bsdf[:, None],
+                    0.0)
+                cont = active & ~is_last
+                mclip = jnp.clip(its.material_id, 0,
+                                 scene.materials.n_materials - 1)
+                tex_id = scene.materials.tex_id[mclip]
+                albedo = scene.materials.reflectance[mclip]
+                if scene.textures.n_textures > 0:
+                    from mitsuba_tpu.render.texture import eval_texture
+                    tex_val = eval_texture(scene.textures, tex_id,
+                                           its.uv)
+                    albedo = jnp.where((tex_id >= 0)[:, None], tex_val,
+                                       albedo)
+                ds = sample_direct(scene.emitters, scene.geom, its.p,
+                                   _detach(u_nee_sel),
+                                   _detach(u_nee_pos))
+                wo_local = its.to_local(ds.d)
+                fcos = bsdf_eval(scene.materials, its.material_id,
+                                 its.wi, wo_local, albedo=albedo,
+                                 uv=its.uv)
+                b_pdf = bsdf_pdf(scene.materials, its.material_id,
+                                 its.wi, wo_local)
+                nee_ok = cont & ds.valid & (ds.pdf > 0)
+                eps = m.EPSILON * jnp.maximum(1.0,
+                                              jnp.abs(its.p).max(-1))
+                pend_ray = Ray.make(
+                    its.p, ds.d, mint=eps,
+                    maxt=jnp.where(nee_ok, ds.dist * (1.0 - 1e-3),
+                                   -1.0))
+                w_nee = jnp.where(ds.delta, 1.0,
+                                  mi_weight(ds.pdf, b_pdf))
+                pend_contrib = throughput * fcos * ds.value * \
+                    (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
+                pend_ok = nee_ok
+                bs = bsdf_sample(scene.materials, its.material_id,
+                                 its.wi, _detach(u_bsdf_2d),
+                                 _detach(u_lobe), albedo=albedo,
+                                 uv=its.uv)
+                wo_world = its.to_world(bs["wo"])
+                active = cont & bs["valid"]
+                alb_rr = jnp.minimum(0.9, jnp.max(_detach(bs["weight"]),
+                                                  axis=-1))
+                kill = do_rr & (u_rr > alb_rr) & ~bs["transmission"]
+                rr_scale = jnp.where(
+                    do_rr & ~bs["transmission"],
+                    1.0 / jnp.maximum(alb_rr, 1e-3), 1.0)
+                active = active & ~kill
+                throughput = throughput * jnp.where(active, rr_scale,
+                                                    1.0)[:, None]
+                throughput = throughput * jnp.where(
+                    active[:, None], bs["weight"], 1.0)
+                new_ray = Ray.make(its.p, wo_world, mint=eps)
+                ray = replace(
+                    new_ray,
+                    o=jnp.where(active[:, None], new_ray.o, ray.o),
+                    d=jnp.where(active[:, None], new_ray.d, ray.d),
+                    maxt=jnp.where(active, new_ray.maxt, -1.0),
+                )
+                return (L, throughput, ray, active, _detach(bs["pdf"]),
+                        bs["delta"], depth_count, pend_ray,
+                        pend_contrib, pend_ok)
+
+            def dead_body(sl):
+                (L, throughput, ray, active, prev_pdf, prev_delta,
+                 depth_count, pend_contrib, pend_ok, s_occ, its,
+                 *_rest) = sl
+                # exactly what live_body computes when every lane is
+                # dead: masked accumulations vanish, mint picks up the
+                # hit-scaled epsilon, maxt collapses to -1
+                eps = m.EPSILON * jnp.maximum(1.0,
+                                              jnp.abs(its.p).max(-1))
+                dead_t = jnp.full(ray.maxt.shape, -1.0)
+                ray2 = Ray(o=ray.o, d=ray.d, mint=eps, maxt=dead_t)
+                pend2 = Ray(o=its.p, d=ray.d, mint=eps, maxt=dead_t)
+                return (L, throughput, ray2, jnp.zeros_like(active),
+                        jnp.zeros_like(prev_pdf),
+                        jnp.zeros_like(prev_delta), depth_count, pend2,
+                        jnp.zeros_like(pend_contrib),
+                        jnp.zeros_like(pend_ok))
+
+            def chunk_fn(sl):
+                live = jnp.any(sl[3] | sl[8])
+                return jax.lax.cond(live, live_body, dead_body, sl)
+
+            sl = jax.tree_util.tree_map(
+                lambda a: a.reshape((n_gc, a.shape[0] // n_gc)
+                                    + a.shape[1:]),
+                (L, throughput, ray, active, prev_pdf, prev_delta,
+                 depth_count, pend_contrib, pend_ok, s_occ, its,
+                 u_nee_sel, u_nee_pos, u_bsdf_2d, u_lobe, u_rr))
+            out = jax.lax.map(chunk_fn, sl)
+            (L, throughput, ray, active, prev_pdf, prev_delta,
+             depth_count, pend_ray, pend_contrib, pend_ok) = \
+                jax.tree_util.tree_map(
+                    lambda a: a.reshape((-1,) + a.shape[2:]), out)
+            carry = (L, throughput, ray, active, prev_pdf, prev_delta,
+                     depth_count, rays_traced, path_len, pend_ray,
+                     pend_contrib, pend_ok, pred_table, pred_hits,
+                     guide_mass)
+            return carry, None
+
         # resolve the previous bounce's NEE shadow ray
         L = L + jnp.where((pend_ok & ~s_occ)[:, None], pend_contrib, 0.0)
         if cfg.mip_filter:
