@@ -1072,16 +1072,23 @@ def _retier_closest(geom: GeometryTables, ray: Ray, t, u, v, prim, valid,
             g(mx, -1.0), caps=xl, interpret=interp)
 
         # map back: original lane i sits at rank inv[i]; ranks >= m_xl
-        # were not re-run (beyond capacity) and stay overflowed
+        # were not re-run (beyond capacity) and stay overflowed. ONE
+        # packed (m_xl, 6) row-gather instead of six full-wavefront
+        # gathers (law 1: these are (N,)-sized, ~11 ms each)
         rk = inv[:n]
         in_xl = rk < m_xl
         rkc = jnp.minimum(rk, m_xl - 1)
-        t2 = t2[rkc]
-        u2 = u2[rkc]
-        v2 = v2[rkc]
-        p2 = p2[rkc]
-        ok2 = ok2[rkc] & in_xl
-        ovf2 = ovf2[rkc]
+        pk = jnp.stack(
+            [t2, u2, v2,
+             jax.lax.bitcast_convert_type(p2, jnp.float32),
+             ok2.astype(jnp.float32), ovf2.astype(jnp.float32)],
+            axis=1)[rkc]
+        t2 = pk[:, 0]
+        u2 = pk[:, 1]
+        v2 = pk[:, 2]
+        p2 = jax.lax.bitcast_convert_type(pk[:, 3], jnp.int32)
+        ok2 = (pk[:, 4] > 0.5) & in_xl
+        ovf2 = pk[:, 5] > 0.5
         take = lane_ovf & ok2 & (~valid | (t2 < t))
         t = jnp.where(take, t2, t)
         u = jnp.where(take, u2, u)
@@ -1127,8 +1134,10 @@ def _retier_any(geom: GeometryTables, ray: Ray, occ, lane_ovf,
         rk = inv[:n]
         in_xl = rk < m_xl
         rkc = jnp.minimum(rk, m_xl - 1)
-        occ2 = occ2[rkc] & in_xl
-        ovf2 = ovf2[rkc]
+        pk = jnp.stack([occ2.astype(jnp.float32),
+                        ovf2.astype(jnp.float32)], axis=1)[rkc]
+        occ2 = (pk[:, 0] > 0.5) & in_xl
+        ovf2 = pk[:, 1] > 0.5
         return occ | (occ2 & todo), todo & (~in_xl | ovf2) & ~occ2
 
     def skip(args):
@@ -1182,8 +1191,14 @@ def _fallback_closest_stream(geom: GeometryTables, ray: Ray, t, u, v,
             rk = inv[:n]
             rkc = jnp.minimum(rk, m_xl - 1)
             in_xl = rk < m_xl
-            return (tf_[rkc], uf[rkc], vf[rkc], pf[rkc],
-                    okf[rkc] & in_xl)
+            # one packed row-gather for the rank map (see _retier_closest)
+            pk = jnp.stack(
+                [tf_, uf, vf,
+                 jax.lax.bitcast_convert_type(pf, jnp.float32),
+                 okf.astype(jnp.float32)], axis=1)[rkc]
+            return (pk[:, 0], pk[:, 1], pk[:, 2],
+                    jax.lax.bitcast_convert_type(pk[:, 3], jnp.int32),
+                    (pk[:, 4] > 0.5) & in_xl)
 
         def full(_):
             return sp.stream_closest(geom.st_tables, ray.o, ray.d,
