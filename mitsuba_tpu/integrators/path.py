@@ -190,10 +190,12 @@ def _pred_keys(o, d, bmin, bmax):
     return (octant << 18) | cell
 
 
-def _bounce_order(ray, bmin, bmax, mode: str):
+def _bounce_order(ray, bmin, bmax, mode: str, need_inv: bool = True):
     """Per-bounce ray ordering: 'full' = octant-major Morton argsort,
     'octant' = stable octant counting-sort (linear). Returns
-    (order, inv)."""
+    (order, inv); need_inv=False skips the inverse-permutation scatter
+    (callers that un-permute by SCATTERING through `order` — see
+    _unperm_pytree — never need it) and returns (order, None)."""
     d = _detach(ray.d)
     dead = ray.maxt < ray.mint
     if mode == "octant":
@@ -205,7 +207,7 @@ def _bounce_order(ray, bmin, bmax, mode: str):
     keys = _morton_keys(_detach(ray.o), d, bmin, bmax)
     keys = jnp.where(dead, jnp.int32(0x7FFFFFFF), keys)
     order = jnp.argsort(keys)
-    return order, _inverse_perm(order)
+    return order, (_inverse_perm(order) if need_inv else None)
 
 
 def _perm_pytree(tree, order):
@@ -232,6 +234,45 @@ def _perm_pytree(tree, order):
         cols.append(x2)
     packed = jnp.concatenate(cols, axis=1)
     g = packed[order]
+    out = []
+    c = 0
+    for (ndim, w, dt) in specs:
+        sl = g[:, c:c + w]
+        c += w
+        if dt == jnp.bool_:
+            sl = jax.lax.bitcast_convert_type(sl, jnp.int32) != 0
+        elif jnp.issubdtype(dt, jnp.integer):
+            sl = jax.lax.bitcast_convert_type(sl, jnp.int32).astype(dt)
+        out.append(sl[:, 0] if ndim == 1 else sl)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _unperm_pytree(tree, order):
+    """Inverse of _perm_pytree WITHOUT materializing the inverse
+    permutation: one packed row-SCATTER through the forward order
+    (out[order[j]] = packed[j]). NEGATIVE for multi-channel records on
+    TPU (round 5: its un-permute via this = 2.115 → 1.807 Mrays/s e2e —
+    a (N,24) row-scatter does NOT amortize like a row-gather does;
+    law 9). Only the SINGLE-channel case wins (the shadow-occlusion bit
+    in _sorted_test, where a scatter replaces a full-price one-channel
+    gather plus the inverse-perm build). Kept for that case and the
+    record."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols = []
+    specs = []
+    for x in leaves:
+        x2 = x[:, None] if x.ndim == 1 else x
+        w = x2.shape[1]
+        if x2.dtype == jnp.bool_:
+            x2 = x2.astype(jnp.int32)
+        if jnp.issubdtype(x2.dtype, jnp.integer):
+            x2 = jax.lax.bitcast_convert_type(x2.astype(jnp.int32),
+                                              jnp.float32)
+        specs.append((x.ndim, w, x.dtype))
+        cols.append(x2)
+    packed = jnp.concatenate(cols, axis=1)
+    g = jnp.zeros_like(packed).at[order].set(packed,
+                                             unique_indices=True)
     out = []
     c = 0
     for (ndim, w, dt) in specs:
@@ -282,12 +323,17 @@ def _sorted_intersect_and_test(scene, ray, sray, mode: str = "full"):
 
 def _sorted_test(scene, ray, mode: str = "full"):
     """Sorted shadow-ray occlusion query (tile coherence for the
-    streaming cluster kernel)."""
+    streaming cluster kernel). The single-bit result returns to lane
+    space by SCATTERING through the forward order — occ[inv] cost a
+    full (N,)-gather (~38 ms/1M, as much as a 24-channel packed one)
+    plus the inverse-permutation build it was the only consumer of."""
     bmin = scene.geom.bvh_min[0]
     bmax = scene.geom.bvh_max[0]
-    order, inv = _bounce_order(ray, bmin, bmax, mode)
+    order, _inv = _bounce_order(ray, bmin, bmax, mode, need_inv=False)
     ray_s = _perm_pytree(ray, order)
-    return ray_test(scene.geom, ray_s)[inv]
+    occ_s = ray_test(scene.geom, ray_s)
+    return jnp.zeros(order.shape[0], bool).at[order].set(
+        occ_s, unique_indices=True)
 
 
 def _cone_duv_aniso(geom, its, d, width):
