@@ -70,6 +70,15 @@ class EmitterTable:
     def n_emitters(self):
         return self.kind.shape[0]
 
+    @property
+    def has_surface_emitters(self) -> bool:
+        """Static: any emitter a BSDF ray can HIT (area triangles or
+        analytic spheres). When False the emitter-hit MIS term is
+        identically zero — callers skip its gathers at trace time
+        (env-only scenes paid ~15-20 ms/1M-lane-bounce for an all-zero
+        le + a tri_pdf_area gather of zeros)."""
+        return AREA in self.kinds_present or SPHERE in self.kinds_present
+
 
 class EmitterBuilder:
     """Host-side accumulation of emitters; area emitters bind to shapes."""

@@ -581,16 +581,18 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                     esc[:, None], throughput * env * w_env[:, None], 0.0)
                 active = active & its.valid
                 depth_count = depth_count + active.astype(jnp.int32)
-                le = eval_emitter_hit(scene.emitters, its.emitter_id,
-                                      -ray.d, its.geo_n)
-                lum_pdf = pdf_direct_area(
-                    scene.emitters, its.prim_id, ray.o, its.p, its.geo_n,
-                    emitter_id=its.emitter_id)
-                w_bsdf = jnp.where(prev_delta, 1.0,
-                                   mi_weight(prev_pdf, lum_pdf))
-                L = L + em_w * jnp.where(
-                    active[:, None], throughput * le * w_bsdf[:, None],
-                    0.0)
+                if scene.emitters.has_surface_emitters:
+                    le = eval_emitter_hit(scene.emitters,
+                                          its.emitter_id, -ray.d,
+                                          its.geo_n)
+                    lum_pdf = pdf_direct_area(
+                        scene.emitters, its.prim_id, ray.o, its.p,
+                        its.geo_n, emitter_id=its.emitter_id)
+                    w_bsdf = jnp.where(prev_delta, 1.0,
+                                       mi_weight(prev_pdf, lum_pdf))
+                    L = L + em_w * jnp.where(
+                        active[:, None],
+                        throughput * le * w_bsdf[:, None], 0.0)
                 cont = active & ~is_last
                 mclip = jnp.clip(its.material_id, 0,
                                  scene.materials.n_materials - 1)
@@ -711,8 +713,14 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
             active = active & (wi_geo * wi_sh > 0)
         depth_count = depth_count + active.astype(jnp.int32)
 
-        # --- emitter hit (BSDF-sampling MIS side) -----------------------
-        le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d, its.geo_n)
+        # --- emitter hit (BSDF-sampling MIS side); identically zero
+        # when no surface emitter exists — skip its gathers at trace
+        # time (EmitterTable.has_surface_emitters) -----------------------
+        if scene.emitters.has_surface_emitters:
+            le = eval_emitter_hit(scene.emitters, its.emitter_id, -ray.d,
+                                  its.geo_n)
+        else:
+            le = jnp.zeros_like(throughput)
         if learn_guide and guide is not None:
             # guide learning: radiance arriving at the ray's origin along
             # its direction (emitter hits + environment); unweighted by
@@ -739,13 +747,16 @@ def path_trace(scene, ray: Ray, sampler: Sampler, cfg: PathConfig,
                 guide, _detach(its.p), _detach(u_bsdf_2d),
                 _detach(u_gbin), normal=_detach(its.sh_n))
             alpha_l = jnp.where(g_ok, guide_alpha, 1.0)
-        lum_pdf = pdf_direct_area(
-            scene.emitters, its.prim_id, ray.o, its.p, its.geo_n,
-            emitter_id=its.emitter_id,
-        )
-        w_bsdf = jnp.where(prev_delta, 1.0, mi_weight(prev_pdf, lum_pdf))
-        L = L + em_w * jnp.where(active[:, None],
-                                 throughput * le * w_bsdf[:, None], 0.0)
+        if scene.emitters.has_surface_emitters:
+            lum_pdf = pdf_direct_area(
+                scene.emitters, its.prim_id, ray.o, its.p, its.geo_n,
+                emitter_id=its.emitter_id,
+            )
+            w_bsdf = jnp.where(prev_delta, 1.0,
+                               mi_weight(prev_pdf, lum_pdf))
+            L = L + em_w * jnp.where(active[:, None],
+                                     throughput * le * w_bsdf[:, None],
+                                     0.0)
 
         # --- subsurface scattering (reference: integrators call
         # Subsurface::Lo at every surface interaction, path.cpp via
